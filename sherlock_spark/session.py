@@ -1,0 +1,64 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local-mode testing uses ``local[N]``; the config block is written so the
+same settings are correct on a multi-executor cluster (AQE, skew join,
+Arrow batching for the model UDFs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Model UDFs sub-batch internally (see operators/ner.py, operators/rc.py);
+# the Arrow batch is the unit of Python<->JVM transfer, keep it large.
+ARROW_BATCH_ROWS = 2048
+
+
+def get_spark(
+    app_name: str = "sherlock_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` defaults to $SPARK_GRAFT_CPUS or all local cores. On a real
+    cluster this function is still the single place where engine tuning
+    lives; ``master`` is then injected by spark-submit and the
+    ``local[...]`` default is ignored.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        # one shuffle partition per core locally; on a cluster this is
+        # superseded by AQE coalescing from an intentionally higher start.
+        shuffle_partitions = max(cores, 8)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_BATCH_ROWS),
+        )
+        # Reuse Python workers so per-executor model singletons survive
+        # across tasks (the stand-in for sherlock's one-time model load,
+        # reference: sherlock/annotators/spacy.py:17,24-55).
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
