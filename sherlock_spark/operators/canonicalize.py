@@ -1,0 +1,168 @@
+"""Cross-conversation entity canonicalization via connected components.
+
+Not present in the reference (its linking is per-document,
+``entity_fishing.py:70-110``); required by the north rule: coreferent
+entities must merge *across* conversations. Graph: bipartite
+alias-surface <-> kb-id edges from the link table; components computed
+with an iterative DataFrame min-label propagation (the GraphFrames-style
+alternative to large-star/small-star, adequate because alias graphs are
+shallow — diameter is small even at 10^12 turns; iterations are bounded
+and convergence is *measured*, not assumed).
+
+Scale notes: each iteration is one shuffle on the node id; lineage is
+cut with ``localCheckpoint`` every ``checkpoint_every`` iterations so
+plans don't grow unboundedly; a hub alias ("user" linked everywhere)
+creates a giant star — harmless for min-propagation (depth 2), the
+skew-sensitive part is the *join back*, handled by AQE skew join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 25,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """edges(src string, dst string) -> (node string, component string).
+
+    Component id = lexicographic min node id in the component.
+    Deterministic; converges in O(graph diameter) iterations.
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    comp = nodes.withColumn("component", F.col("node"))
+
+    for iteration in range(max_iterations):
+        neighbor_min = (
+            sym.join(comp, sym.src == comp.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("component").alias("neighbor_component"))
+        )
+        updated = (
+            comp.join(neighbor_min, comp.node == F.col("node2"), "left")
+            .select(
+                "node",
+                "component",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("neighbor_component"), F.col("component")),
+                ).alias("new_component"),
+            )
+            .persist()
+        )
+        changed = updated.filter(
+            F.col("new_component") != F.col("component")
+        ).limit(1).count()
+        previous = comp
+        comp = updated.select(
+            "node", F.col("new_component").alias("component")
+        )
+        if (iteration + 1) % checkpoint_every == 0:
+            # cut lineage so plans stay bounded across iterations
+            comp = comp.localCheckpoint(eager=True)
+        if hasattr(previous, "unpersist"):
+            previous.unpersist()
+        if changed == 0:
+            break
+    return comp
+
+
+def canonicalize(link_table: DataFrame) -> DataFrame:
+    """link table (ment_norm, ment_label, kb_id nullable) -> mapping
+    (ment_norm, ment_label, canonical_id).
+
+    Nodes: ``a:<type>:<norm>`` for surfaces, ``k:<kb_id>`` for KB ids.
+    Surfaces sharing a KB id (directly or transitively through shared
+    ids/aliases) get one canonical id; unlinked surfaces canonicalize to
+    themselves.
+    """
+    surfaces = link_table.select(
+        F.concat(F.lit("a:"), "ment_label", F.lit(":"), "ment_norm").alias("src"),
+        F.when(
+            F.col("kb_id").isNotNull(), F.concat(F.lit("k:"), "kb_id")
+        ).alias("dst"),
+        "ment_norm",
+        "ment_label",
+    ).distinct()
+
+    edges = surfaces.filter(F.col("dst").isNotNull()).select("src", "dst")
+    components = connected_components(edges)
+
+    return (
+        surfaces.join(components, surfaces.src == components.node, "left")
+        .select(
+            "ment_norm",
+            "ment_label",
+            F.coalesce(F.col("component"), F.col("src")).alias("canonical_id"),
+        )
+        .distinct()
+    )
+
+
+def materialize_graph(
+    triples: DataFrame, canonical_map: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Triples + canonical map -> deduplicated (nodes, edges) tables.
+
+    nodes(canonical_id, label, surface_forms); edges(subj_id, pred,
+    obj_id, n_evidence) — n_evidence aggregates duplicate assertions
+    instead of dropping them silently.
+    """
+    with_subj = triples.withColumn(
+        "subj_norm", F.lower(F.col("subj_text"))
+    ).withColumn("obj_norm", F.lower(F.col("obj_text")))
+
+    subj_map = canonical_map.select(
+        F.col("ment_norm").alias("subj_norm"),
+        F.col("ment_label").alias("subj_type"),
+        F.col("canonical_id").alias("subj_id"),
+    )
+    obj_map = canonical_map.select(
+        F.col("ment_norm").alias("obj_norm"),
+        F.col("ment_label").alias("obj_type"),
+        F.col("canonical_id").alias("obj_id"),
+    )
+    resolved = (
+        with_subj.join(F.broadcast(subj_map), ["subj_norm", "subj_type"], "left")
+        .join(F.broadcast(obj_map), ["obj_norm", "obj_type"], "left")
+        .withColumn(
+            "subj_id",
+            F.coalesce(
+                F.col("subj_id"),
+                F.concat(F.lit("a:"), "subj_type", F.lit(":"), "subj_norm"),
+            ),
+        )
+        .withColumn(
+            "obj_id",
+            F.coalesce(
+                F.col("obj_id"),
+                F.concat(F.lit("a:"), "obj_type", F.lit(":"), "obj_norm"),
+            ),
+        )
+    )
+
+    edges = (
+        resolved.groupBy("subj_id", "pred", "obj_id")
+        .agg(F.count("*").alias("n_evidence"))
+    )
+    nodes = (
+        resolved.select(
+            F.col("subj_id").alias("canonical_id"),
+            F.col("subj_type").alias("label"),
+            F.col("subj_norm").alias("surface"),
+        )
+        .union(
+            resolved.select(
+                F.col("obj_id"), F.col("obj_type"), F.col("obj_norm")
+            )
+        )
+        .groupBy("canonical_id", "label")
+        .agg(F.array_sort(F.collect_set("surface")).alias("surface_forms"))
+    )
+    return nodes, edges

@@ -1,0 +1,137 @@
+"""The extract -> link -> canonicalize -> materialize DAG.
+
+Spark shape of the reference ``Pipeline`` (``sherlock/pipeline.py:14-60``:
+a hand-ordered processor list with provenance stamping), rebuilt as
+checkpointed DataFrame stages (SURVEY.md §3.2). Each stage materializes
+to a table with per-partition lineage; rerunning after a failure skips
+completed stages (idempotent resume).
+
+Skew handling: input is repartitioned by ``hash(conv_id, salt)`` where
+the salt spreads turns of oversized conversations across
+``salt_buckets`` partitions (turn-level work is embarrassingly parallel,
+so splitting a conversation is safe — only ordering-sensitive consumers
+re-sort by (conv_id, turn_idx)).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sherlock_spark.model_stub import (
+    DEFAULT_NER_LEXICON,
+    DEFAULT_RC_LABELS,
+)
+from sherlock_spark.operators.canonicalize import canonicalize, materialize_graph
+from sherlock_spark.operators.linking import linked_mentions, make_alias_df
+from sherlock_spark.operators.ner import annotate_mentions
+from sherlock_spark.operators.rc import extract_triples
+from sherlock_spark.plans.checkpoint import CheckpointManager
+
+
+def salt_by_conv(df: DataFrame, salt_buckets: int = 8) -> DataFrame:
+    """Spread long conversations: partition key (conv_id, turn_idx %
+    salt_buckets). Normal conversations still co-locate within a bucket;
+    hot conversations fan out over ``salt_buckets`` partitions.
+    """
+    return df.repartition(
+        F.col("conv_id"), (F.col("turn_idx") % F.lit(salt_buckets))
+    )
+
+
+def run_kg_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    ner_lexicon: Optional[dict[str, str]] = None,
+    rc_labels: Optional[list[str]] = None,
+    rc_rule_map: Optional[dict[tuple[str, str], str]] = None,
+    aliases: Optional[list[tuple[str, str, str]]] = None,
+    entity_handling: str = "mark_entity",
+    max_length: int = 128,
+    max_mentions: int = 16,
+    salt_buckets: int = 8,
+) -> dict[str, DataFrame]:
+    """Run (or resume) the full KG-construction DAG. Returns the stage
+    DataFrames: triples, links, canonical_map, nodes, edges.
+    """
+    manager = CheckpointManager(spark, out_dir)
+    lexicon = DEFAULT_NER_LEXICON if ner_lexicon is None else ner_lexicon
+    labels = DEFAULT_RC_LABELS if rc_labels is None else rc_labels
+
+    def build_triples() -> DataFrame:
+        salted = salt_by_conv(transcripts, salt_buckets)
+        annotated = annotate_mentions(spark, salted, lexicon)
+        return extract_triples(
+            spark,
+            annotated,
+            labels=labels,
+            rule_map=rc_rule_map,
+            entity_handling=entity_handling,
+            max_length=max_length,
+            max_mentions=max_mentions,
+        )
+
+    triples = manager.run_stage(
+        "triples",
+        build_triples,
+        dedup_keys=["conv_id", "turn_idx", "head_idx", "tail_idx"],
+        repartition_by="conv_id",
+    )
+
+    alias_rows = aliases if aliases is not None else default_aliases(lexicon)
+    alias_df = make_alias_df(spark, alias_rows)
+
+    def build_links() -> DataFrame:
+        salted = salt_by_conv(transcripts, salt_buckets)
+        annotated = annotate_mentions(spark, salted, lexicon)
+        return linked_mentions(annotated, alias_df)
+
+    links = manager.run_stage(
+        "links",
+        build_links,
+        dedup_keys=["conv_id", "turn_idx", "ment_idx"],
+        repartition_by="conv_id",
+    )
+
+    canonical_map = manager.run_stage(
+        "canonical_map",
+        lambda: canonicalize(links),
+        dedup_keys=["ment_norm", "ment_label"],
+    )
+
+    def build_nodes() -> DataFrame:
+        nodes, _ = materialize_graph(triples, canonical_map)
+        return nodes
+
+    def build_edges() -> DataFrame:
+        _, edges = materialize_graph(triples, canonical_map)
+        return edges
+
+    nodes = manager.run_stage("nodes", build_nodes, dedup_keys=["canonical_id", "label"])
+    edges = manager.run_stage(
+        "edges", build_edges, dedup_keys=["subj_id", "pred", "obj_id"]
+    )
+
+    return {
+        "triples": triples,
+        "links": links,
+        "canonical_map": canonical_map,
+        "nodes": nodes,
+        "edges": edges,
+        "lineage": manager.all_lineage(),
+    }
+
+
+def default_aliases(lexicon: dict[str, str]) -> list[tuple[str, str, str]]:
+    """One KB id per lexicon surface (types from the BIO tag); gives the
+    link stage full coverage on synthetic corpora.
+    """
+    rows = []
+    for word, tag in lexicon.items():
+        if tag.startswith("B-"):
+            ent_type = tag[2:]
+            rows.append((word, f"Q-{word.upper()}", ent_type))
+    return rows
