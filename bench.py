@@ -1,0 +1,84 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ..., ...extras}.
+
+Scaling-efficiency evidence (BASELINE.md): run twice with
+SPARK_GRAFT_CPUS=8 and =32 on the same input; see tools/bench_scaling.py
+which automates that and writes BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from sherlock_spark.session import get_spark
+    from sherlock_spark.queries import QUERIES
+    from sherlock_spark.functions.dedup import minhash_dedup_pairs
+
+    spark = get_spark("bench", cores=cores)
+
+    headline = [
+        "kg_triples",
+        "kg_canonical_edges",
+        "rel_pricing_summary",
+        "rel_region_revenue",
+        "rel_events_sessionize",
+        "sim_topk_cosine",
+        "dedup_exact",
+    ]
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # warm the JVM + python workers once with a trivial job so the first
+    # measured query doesn't pay session spin-up
+    spark.range(1000).count()
+
+    for name in headline:
+        started = time.time()
+        count = QUERIES[name](spark, sf_dir).count()
+        elapsed = time.time() - started
+        timings[name] = round(elapsed, 3)
+        if name == "kg_triples":
+            n_turns = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+            extras["triples"] = count
+            extras["turns"] = n_turns
+            extras["triples_per_sec"] = round(count / elapsed, 1)
+            extras["turns_per_sec"] = round(n_turns / elapsed, 1)
+
+    # LSH near-dup (the scale path) timed separately from the registry
+    started = time.time()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    minhash_dedup_pairs(docs, threshold=0.8).count()
+    timings["dedup_minhash_lsh"] = round(time.time() - started, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time (triples/sec in extras)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cores": cores,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,277 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+All operators work on a ``documents(doc_id, text)``-shaped DataFrame and
+return flat, deterministic outputs. Exact and n-gram Jaccard have
+closed-form SQL oracles; MinHash/SimHash are the approximate scale
+paths (candidate generation without the quadratic join) and are checked
+by property tests (recall vs the exact result) rather than value-hash.
+
+Scale shape:
+- exact: one hash-groupBy shuffle on md5(text);
+- n-gram Jaccard: shingle explode -> shared-shingle blocking join ->
+  exact Jaccard filter. Exact (a pair with J>0 must share a shingle)
+  but quadratic in the worst case — the production path for near-dup at
+  100 TB is MinHash-LSH below, which replaces the blocking join with a
+  band-bucket join of fixed fanout;
+- MinHash: k permutations via affine transforms of a base hash (xxhash64
+  JVM-side), bands of r rows hashed to buckets, candidates = pairs
+  sharing a band bucket;
+- SimHash: 64-bit sign-aggregated word hashes; near-dups share most
+  bits, candidates via b-bit band equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# -- exact ---------------------------------------------------------------
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact duplicate groups: (text_hash, n_dups, canonical_doc_id).
+    Canonical = min doc_id (reference dedup-by-guid analogue,
+    ``predict_documents.py:80-82``).
+    """
+    return (
+        documents.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+# -- word n-gram shingles + exact Jaccard --------------------------------
+
+
+def word_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per document."""
+    words = F.split("text", " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return documents.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact near-duplicate pairs by word-n-gram Jaccard >= threshold.
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded
+    to 4 decimals. Blocking join on shared shingles keeps it exact while
+    avoiding the full cross join.
+    """
+    shingles = word_shingles(documents, n).cache()
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+
+    left = shingles.alias("l")
+    right = shingles.alias("r")
+    inter = (
+        left.join(right, F.col("l.shingle") == F.col("r.shingle"))
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    size_a = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")
+    )
+    size_b = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")
+    )
+    return (
+        inter.join(size_a, "doc_a")
+        .join(size_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# -- MinHash-LSH ---------------------------------------------------------
+
+# 2^31-1: keeps a_i * h + b_i far below int64 overflow in ANSI mode
+_MERSENNE = (1 << 31) - 1
+
+
+def minhash_signatures(documents: DataFrame, n_hashes: int = 32, shingle_n: int = 3) -> DataFrame:
+    """(doc_id, signature array<long>) via affine permutations of
+    xxhash64(shingle): h_i = (a_i * h + b_i) mod p. Deterministic seeds.
+    """
+    shingles = word_shingles(documents, shingle_n)
+    base = shingles.withColumn(
+        "h", F.abs(F.xxhash64("shingle")) % F.lit(_MERSENNE)
+    )
+    mins = [
+        F.min(
+            (F.col("h") * F.lit(2 * i + 1) + F.lit(7919 * (i + 1))) % F.lit(_MERSENNE)
+        ).alias(f"m{i}")
+        for i in range(n_hashes)
+    ]
+    aggregated = base.groupBy("doc_id").agg(*mins)
+    return aggregated.select(
+        "doc_id",
+        F.array(*[F.col(f"m{i}") for i in range(n_hashes)]).alias("signature"),
+    )
+
+
+def minhash_lsh_candidates(
+    documents: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >= 1 LSH band bucket.
+    rows-per-band r = n_hashes / bands; P(candidate) = 1-(1-J^r)^bands.
+    """
+    rows_per_band = n_hashes // bands
+    signatures = minhash_signatures(documents, n_hashes, shingle_n)
+    banded = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("signature")[band * rows_per_band + row]
+                                for row in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified by exact Jaccard — the scale path for
+    near-dup detection (candidate fanout bounded by band buckets, not by
+    shared-shingle frequency).
+    """
+    candidates = minhash_lsh_candidates(documents, n_hashes, bands, shingle_n)
+    shingles = word_shingles(documents, shingle_n).cache()
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    # exact intersection sizes, but only over LSH candidate pairs
+    inter = (
+        candidates.join(
+            shingles.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            shingles.select(
+                F.col("doc_id").alias("doc_b"), F.col("shingle").alias("s_b")
+            ),
+            "doc_b",
+        )
+        .filter(F.col("shingle") == F.col("s_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    size_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    size_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(size_a, "doc_a")
+        .join(size_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# -- SimHash -------------------------------------------------------------
+
+
+def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
+    """(doc_id, simhash long): sign-sum of per-word xxhash64 bits.
+    Near-duplicate texts differ in few bits (Hamming distance).
+    """
+    words = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).withColumn("h", F.xxhash64("word"))
+    bit_sums = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    fingerprint = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        shifted = bit * F.lit(2**i if i < 63 else -(2**63)).cast("long")
+        fingerprint = shifted if fingerprint is None else (fingerprint + shifted)
+    return bit_sums.select("doc_id", fingerprint.alias("simhash"))
+
+
+def simhash_candidates(documents: DataFrame, band_bits: int = 16) -> DataFrame:
+    """Near-dup candidates: equal SimHash bands (64/band_bits blocks)."""
+    hashes = simhash(documents)
+    n_bands = 64 // band_bits
+    banded = hashes.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), band * band_bits)
+                    .bitwiseAND(F.lit((1 << band_bits) - 1))
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )

@@ -1,0 +1,123 @@
+"""Text analysis: token counting, quality scoring, language ID,
+fingerprinting — all JVM-side column expressions (no Python in the hot
+path); each has a closed-form SQL oracle where exactness is possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword sets for the n-gram/stopword language
+# heuristic (public common function words)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "des", "dans", "pour"],
+    "es": ["el", "la", "los", "las", "es", "una", "con", "por", "para", "que"],
+    "it": ["il", "la", "che", "di", "non", "una", "per", "con", "sono", "della"],
+}
+
+EN_STOPWORDS = LANG_STOPWORDS["en"]
+
+# BPE-ish token regex: word runs or single non-word non-space chars
+TOKEN_REGEX = r"\w+|[^\w\s]"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace-agnostic token count over TOKEN_REGEX. Pattern passed
+    as a literal column — embedding it in an F.expr SQL string would
+    need double backslash escaping.
+    """
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def with_text_stats(documents: DataFrame) -> DataFrame:
+    """Per-document quality features: word/char/token counts, average
+    word length, punctuation ratio, stopword ratio, distinct-word ratio.
+    """
+    words = F.split("text", " ")
+    stop_array = F.array(*[F.lit(word) for word in EN_STOPWORDS])
+    return documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(words).alias("n_words"),
+        token_count(F.col("text")).alias("n_tokens"),
+        F.round(
+            F.aggregate(
+                words, F.lit(0).cast("double"), lambda acc, w: acc + F.length(w)
+            )
+            / F.size(words),
+            4,
+        ).alias("avg_word_len"),
+        F.round(
+            F.size(F.filter(words, lambda w: F.arrays_overlap(stop_array, F.array(F.lower(w)))))
+            / F.size(words),
+            4,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.size(F.array_distinct(words)) / F.size(words), 4
+        ).alias("distinct_ratio"),
+    )
+
+
+def quality_score(stats: DataFrame) -> DataFrame:
+    """Scalar quality score in [0,1]: rewards mid-length documents, a
+    plausible stopword share and lexical diversity (the usual pretraining
+    heuristics, composed from the feature columns).
+    """
+    length_term = F.least(F.col("n_words") / F.lit(100.0), F.lit(1.0))
+    diversity_term = F.col("distinct_ratio")
+    stop_term = F.lit(1.0) - F.abs(F.col("stopword_ratio") - F.lit(0.3))
+    return stats.withColumn(
+        "quality",
+        F.round((length_term + diversity_term + stop_term) / 3.0, 4),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Stopword-vote language ID: the language whose stopword set hits
+    the document's word set most wins; ties break lexicographically;
+    zero hits -> 'und' (undetermined).
+    """
+    words = F.array_distinct(F.split(F.lower(F.col("text")), " "))
+    scores = [
+        F.struct(
+            F.size(
+                F.array_intersect(
+                    words, F.array(*[F.lit(w) for w in stopwords])
+                )
+            ).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, stopwords in sorted(LANG_STOPWORDS.items())
+    ]
+    # max by (hits, reversed-lang) = first lexicographic lang on ties:
+    # array_max picks max struct lexicographically (hits then lang), so
+    # to prefer the *smallest* lang on equal hits we sort desc by lang
+    # and rely on array_max keeping the max lang — instead do it simply:
+    best = F.aggregate(
+        F.array(*scores),
+        F.struct(F.lit(-1).alias("hits"), F.lit("und").alias("lang")),
+        lambda acc, s: F.when(s["hits"] > acc["hits"], s).otherwise(acc),
+    )
+    return documents.select(
+        "doc_id",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "pred_lang"
+        ),
+    )
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct word set — cheap exact-dedup key robust to word order.
+    """
+    return documents.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(F.split("text", " ")))
+            )
+        ).alias("fingerprint"),
+    )

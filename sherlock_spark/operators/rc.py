@@ -29,7 +29,7 @@ from pyspark.sql import types as T
 
 from sherlock_spark.model_stub import StubRcModel
 from sherlock_spark.text.bert_like import BertLikeTokenizer
-from sherlock_spark.text.marking import tokenize_with_entities
+from sherlock_spark.text.marking_fast import marking_flags, piece_prefix_sums
 
 _MODEL_CACHE: dict[int, tuple] = {}
 
@@ -49,6 +49,11 @@ def _executor_rc(cache_key: str, broadcast):
         config = broadcast.value
         model = StubRcModel(config["labels"], config.get("rule_map"))
         tokenizer = BertLikeTokenizer(do_lower_case=True)
+        # boundary markers are always in the vocabulary (the reference's
+        # additional-token setup always includes them, tacred.py:151-152)
+        tokenizer.add_tokens(
+            ["[HEAD_START]", "[HEAD_END]", "[TAIL_START]", "[TAIL_END]"]
+        )
         tokenizer.add_tokens(config.get("additional_tokens", []))
         cached = (model, tokenizer, config)
         _MODEL_CACHE[cache_key] = cached
@@ -127,40 +132,82 @@ def rc_classify_udf(
         max_len = config["max_length"]
         emit_logits = config["add_logits"]
         labels_list = model.labels
+
+        # per-worker caches: word -> subword piece count, NER type ->
+        # mask piece count. These turn the per-pair marking into O(1)
+        # prefix-sum arithmetic (marking_fast.py) — semantics pinned to
+        # the reference path by tests/test_marking_fast.py.
+        piece_count: dict[str, int] = {}
+        mask_pieces: dict[str, tuple[int, int]] = {}
+
+        def word_pieces(word: str) -> int:
+            count = piece_count.get(word)
+            if count is None:
+                count = len(tokenizer.tokenize(word))
+                piece_count[word] = count
+            return count
+
+        def label_mask_pieces(label: str) -> tuple[int, int]:
+            cached_pair = mask_pieces.get(label)
+            if cached_pair is None:
+                cached_pair = (
+                    len(tokenizer.tokenize(f"[HEAD={label}]".lower())),
+                    len(tokenizer.tokenize(f"[TAIL={label}]".lower())),
+                )
+                mask_pieces[label] = cached_pair
+            return cached_pair
+
         for words_s, ments_s, head_s, tail_s in batches:
             n = len(words_s)
             cutoffs = np.zeros(n, dtype=bool)
             truncs = np.zeros(n, dtype=bool)
             pairs: list[tuple[str, str, str, str]] = []
             live: list[int] = []
+            head_arr = head_s.to_numpy()
+            tail_arr = tail_s.to_numpy()
+            prev_words_id = None
+            prefix: list[int] = [0]
             for i in range(n):
-                words = list(words_s.iloc[i])
-                ments = [
-                    (int(m["start"]), int(m["end"]), m["label"])
-                    for m in ments_s.iloc[i]
-                ]
-                head_idx = int(head_s.iloc[i])
-                tail_idx = int(tail_s.iloc[i])
-                _tokens, cutoff, truncated = tokenize_with_entities(
-                    words,
-                    ments,
-                    [(0, len(words))],
-                    head_idx,
-                    tail_idx,
-                    tokenizer,
-                    entity_handling=handling,
-                    max_length=max_len,
-                    sent_idx=0,
-                )
-                # encode step kept for shape parity (ids are hashes);
-                # the stub forward keys on the entity pair.
+                words = words_s.iloc[i]
+                ments = ments_s.iloc[i]
+                head = ments[int(head_arr[i])]
+                tail = ments[int(tail_arr[i])]
+                if max_len is None:
+                    cutoff = truncated = False
+                else:
+                    # rows exploded from one turn arrive adjacent; reuse
+                    # the prefix sums while the words buffer is the same
+                    words_id = id(words)
+                    if words_id != prev_words_id:
+                        prefix = piece_prefix_sums(
+                            [word_pieces(w) for w in words]
+                        )
+                        prev_words_id = words_id
+                    head_mask, _ = label_mask_pieces(head["label"])
+                    _, tail_mask = label_mask_pieces(tail["label"])
+                    cutoff, truncated = marking_flags(
+                        prefix,
+                        len(words),
+                        int(head["start"]),
+                        int(head["end"]),
+                        head_mask,
+                        int(tail["start"]),
+                        int(tail["end"]),
+                        tail_mask,
+                        handling,
+                        max_len,
+                        tokenizer.num_special_tokens_to_add(),
+                    )
                 cutoffs[i] = cutoff
                 truncs[i] = truncated
                 if not cutoff:
-                    hs, he, hl = ments[head_idx]
-                    ts, te, tl = ments[tail_idx]
                     pairs.append(
-                        (hl, tl, " ".join(words[hs:he]), " ".join(words[ts:te]))
+                        (
+                            head["label"],
+                            tail["label"],
+                            " ".join(words[int(head["start"]) : int(head["end"])]),
+                            " ".join(words[int(tail["start"]) : int(tail["end"])]),
+                        )
                     )
                     live.append(i)
             label_col = [None] * n

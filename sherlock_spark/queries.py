@@ -1,0 +1,789 @@
+"""Driver-contract query registry.
+
+Each entry pairs a Spark implementation (running the *real* pipeline
+operators) with an ANSI-SQL oracle DuckDB can execute over the same
+parquet tables (pre-registered views: region nation customer supplier
+part orders lineitem events documents embeddings). The driver compares
+row-count + schema + order-insensitive value hash, with columns sorted
+by name — so every computed column is aliased identically on both sides,
+integer outputs are cast to BIGINT, and float outputs are rounded.
+
+The KG queries derive a transcript table from ``documents`` with pure
+arithmetic (``transcripts_from_documents``) so the whole
+extract -> link -> canonicalize DAG has closed-form oracles; the model
+UDFs use the deterministic stand-ins whose decision functions are
+SQL-expressible (``model_stub.md5_digit_bucket_sql``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sherlock_spark.functions.dedup import dedup_exact, ngram_jaccard_pairs
+from sherlock_spark.functions.similarity import cosine_topk
+from sherlock_spark.functions.textstats import fingerprint, token_count
+from sherlock_spark.model_stub import (
+    DEFAULT_NER_LEXICON,
+    DEFAULT_RC_LABELS,
+    md5_digit_bucket_sql,
+)
+from sherlock_spark.operators.canonicalize import canonicalize, materialize_graph
+from sherlock_spark.operators.linking import linked_mentions, make_alias_df
+from sherlock_spark.operators.ner import annotate_mentions, with_tokens
+from sherlock_spark.operators.rc import enumerate_pairs, extract_triples
+from sherlock_spark.sources.transcripts import (
+    transcripts_from_documents,
+    transcripts_from_documents_sql,
+)
+
+N_CONVS = 100
+MAX_MENTIONS = 16
+
+# aliases exercising canonical merges: join/merge and stream/batch each
+# share a KB id; everything else maps to its own
+CANON_ALIASES: list[tuple[str, str, str]] = [
+    ("spark", "Q-SPARK", "ENGINE"),
+    ("window", "Q-WINDOW", "OPERATOR"),
+    ("hash", "Q-HASH", "OPERATOR"),
+    ("join", "Q-JOINMERGE", "OPERATOR"),
+    ("merge", "Q-JOINMERGE", "OPERATOR"),
+    ("scan", "Q-SCAN", "OPERATOR"),
+    ("sort", "Q-SORT", "OPERATOR"),
+    ("stream", "Q-SRC", "SOURCE"),
+    ("batch", "Q-SRC", "SOURCE"),
+    ("table", "Q-TABLE", "SOURCE"),
+]
+
+
+def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcripts_from_documents(_load(spark, sf_dir, "documents"), N_CONVS)
+
+
+def _annotated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return annotate_mentions(spark, _transcripts(spark, sf_dir), DEFAULT_NER_LEXICON)
+
+
+# SQL building blocks --------------------------------------------------
+
+_T_SQL = transcripts_from_documents_sql(N_CONVS)
+
+_TOKENS_SQL = f"""
+    tok AS (
+        SELECT conv_id, turn_idx,
+               unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos1
+        FROM t
+    ),
+    tokens AS (
+        SELECT conv_id, turn_idx, pos1 - 1 AS pos, word,
+               CAST(COALESCE(SUM(length(word) + 1) OVER (
+                   PARTITION BY conv_id, turn_idx ORDER BY pos1
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS char_start
+        FROM tok
+    )
+"""
+
+_LEXICON_VALUES = ", ".join(
+    f"('{word}', '{tag[2:]}')"
+    for word, tag in sorted(DEFAULT_NER_LEXICON.items())
+)
+
+_MENTIONS_SQL = f"""
+    lexicon(word, label) AS (VALUES {_LEXICON_VALUES}),
+    mentions AS (
+        SELECT conv_id, turn_idx,
+               ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                  ORDER BY pos) - 1 AS ment_idx,
+               pos AS token_start, pos + 1 AS token_end,
+               l.label, tokens.word AS surface
+        FROM tokens JOIN lexicon l ON lower(tokens.word) = l.word
+    )
+"""
+
+_RC_LABEL_CASE = "CASE b " + " ".join(
+    f"WHEN {i} THEN '{label}'" for i, label in enumerate(DEFAULT_RC_LABELS)
+) + " END"
+
+_ALIAS_VALUES = ", ".join(
+    f"('{alias}', '{kb}', '{ent_type}')" for alias, kb, ent_type in CANON_ALIASES
+)
+
+
+# Query implementations ------------------------------------------------
+
+
+def q_kg_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = with_tokens(_transcripts(spark, sf_dir))
+    return df.select(
+        "conv_id",
+        F.col("turn_idx").cast("long"),
+        F.posexplode("tokens").alias("pos", "token"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("token.lemma").alias("word"),
+        F.col("token.start").cast("long").alias("char_start"),
+    )
+
+
+SQL_KG_TOKENIZE = f"""
+    WITH t AS ({_T_SQL}), {_TOKENS_SQL}
+    SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+           CAST(pos AS BIGINT) AS pos, word, char_start
+    FROM tokens
+"""
+
+
+def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _annotated(spark, sf_dir).select(
+        "conv_id",
+        F.col("turn_idx").cast("long"),
+        F.posexplode("ments").alias("ment_idx", "ment"),
+        "words",
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("ment_idx").cast("long"),
+        F.col("ment.start").cast("long").alias("token_start"),
+        F.col("ment.end").cast("long").alias("token_end"),
+        F.col("ment.label").alias("label"),
+        F.element_at("words", F.col("ment.start") + 1).alias("surface"),
+    )
+
+
+SQL_KG_MENTIONS = f"""
+    WITH t AS ({_T_SQL}), {_TOKENS_SQL}, {_MENTIONS_SQL}
+    SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+           CAST(ment_idx AS BIGINT) AS ment_idx,
+           CAST(token_start AS BIGINT) AS token_start,
+           CAST(token_end AS BIGINT) AS token_end, label, surface
+    FROM mentions
+"""
+
+
+def q_kg_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = enumerate_pairs(_annotated(spark, sf_dir), MAX_MENTIONS)
+    return pairs.select(
+        "conv_id",
+        F.col("turn_idx").cast("long"),
+        F.col("head_idx").cast("long"),
+        F.col("tail_idx").cast("long"),
+        F.element_at("ments", F.col("head_idx") + 1)["label"].alias("subj_type"),
+        F.element_at("ments", F.col("tail_idx") + 1)["label"].alias("obj_type"),
+    )
+
+
+SQL_KG_PAIRS = f"""
+    WITH t AS ({_T_SQL}), {_TOKENS_SQL}, {_MENTIONS_SQL}
+    SELECT h.conv_id, CAST(h.turn_idx AS BIGINT) AS turn_idx,
+           CAST(h.ment_idx AS BIGINT) AS head_idx,
+           CAST(o.ment_idx AS BIGINT) AS tail_idx,
+           h.label AS subj_type, o.label AS obj_type
+    FROM mentions h JOIN mentions o
+      ON h.conv_id = o.conv_id AND h.turn_idx = o.turn_idx
+     AND h.ment_idx <> o.ment_idx
+    WHERE h.ment_idx < {MAX_MENTIONS} AND o.ment_idx < {MAX_MENTIONS}
+"""
+
+
+def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    triples = extract_triples(
+        spark,
+        _annotated(spark, sf_dir),
+        labels=DEFAULT_RC_LABELS,
+        rule_map=None,
+        entity_handling="mark_entity",
+        max_length=None,
+        max_mentions=MAX_MENTIONS,
+    )
+    return triples.select(
+        "conv_id",
+        F.col("turn_idx").cast("long"),
+        F.col("head_idx").cast("long"),
+        F.col("tail_idx").cast("long"),
+        "subj_text",
+        "subj_type",
+        "pred",
+        "obj_text",
+        "obj_type",
+    )
+
+
+_BUCKET = md5_digit_bucket_sql(
+    "h.label || '|' || o.label || '|' || h.surface || '|' || o.surface",
+    len(DEFAULT_RC_LABELS),
+    dialect="duckdb",
+)
+
+SQL_KG_TRIPLES = f"""
+    WITH t AS ({_T_SQL}), {_TOKENS_SQL}, {_MENTIONS_SQL},
+    pairs AS (
+        SELECT h.conv_id, h.turn_idx, h.ment_idx AS head_idx,
+               o.ment_idx AS tail_idx, h.surface AS subj_text,
+               h.label AS subj_type, o.surface AS obj_text,
+               o.label AS obj_type, ({_BUCKET}) AS b
+        FROM mentions h JOIN mentions o
+          ON h.conv_id = o.conv_id AND h.turn_idx = o.turn_idx
+         AND h.ment_idx <> o.ment_idx
+        WHERE h.ment_idx < {MAX_MENTIONS} AND o.ment_idx < {MAX_MENTIONS}
+    )
+    SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+           CAST(head_idx AS BIGINT) AS head_idx,
+           CAST(tail_idx AS BIGINT) AS tail_idx,
+           subj_text, subj_type, ({_RC_LABEL_CASE}) AS pred,
+           obj_text, obj_type
+    FROM pairs WHERE b <> 0
+"""
+
+
+def q_kg_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    alias_df = make_alias_df(spark, CANON_ALIASES)
+    links = linked_mentions(_annotated(spark, sf_dir), alias_df)
+    return links.select(
+        "conv_id",
+        F.col("turn_idx").cast("long"),
+        F.col("ment_idx").cast("long"),
+        "ment_norm",
+        "ment_label",
+        "kb_id",
+    )
+
+
+SQL_KG_LINKS = f"""
+    WITH t AS ({_T_SQL}), {_TOKENS_SQL}, {_MENTIONS_SQL},
+    aliases(alias, kb_id, ent_type) AS (VALUES {_ALIAS_VALUES})
+    SELECT m.conv_id, CAST(m.turn_idx AS BIGINT) AS turn_idx,
+           CAST(m.ment_idx AS BIGINT) AS ment_idx,
+           lower(m.surface) AS ment_norm, m.label AS ment_label, a.kb_id
+    FROM mentions m LEFT JOIN aliases a
+      ON lower(m.surface) = a.alias AND m.label = a.ent_type
+"""
+
+
+def q_kg_canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    annotated = _annotated(spark, sf_dir)
+    alias_df = make_alias_df(spark, CANON_ALIASES)
+    links = linked_mentions(annotated, alias_df)
+    canonical_map = canonicalize(links)
+    triples = extract_triples(
+        spark,
+        annotated,
+        labels=DEFAULT_RC_LABELS,
+        rule_map=None,
+        entity_handling="mark_entity",
+        max_length=None,
+        max_mentions=MAX_MENTIONS,
+    )
+    _nodes, edges = materialize_graph(triples, canonical_map)
+    return edges.select(
+        "subj_id", "pred", "obj_id", F.col("n_evidence").cast("long")
+    )
+
+
+SQL_KG_CANONICAL_EDGES = f"""
+    WITH t AS ({_T_SQL}), {_TOKENS_SQL}, {_MENTIONS_SQL},
+    aliases(alias, kb_id, ent_type) AS (VALUES {_ALIAS_VALUES}),
+    canon AS (
+        SELECT a1.alias, a1.ent_type,
+               (SELECT min('a:' || a2.ent_type || ':' || a2.alias)
+                FROM aliases a2 WHERE a2.kb_id = a1.kb_id) AS canonical_id
+        FROM aliases a1
+    ),
+    triples AS (
+        SELECT h.surface AS subj_text, h.label AS subj_type,
+               o.surface AS obj_text, o.label AS obj_type, ({_BUCKET}) AS b
+        FROM mentions h JOIN mentions o
+          ON h.conv_id = o.conv_id AND h.turn_idx = o.turn_idx
+         AND h.ment_idx <> o.ment_idx
+        WHERE h.ment_idx < {MAX_MENTIONS} AND o.ment_idx < {MAX_MENTIONS}
+    )
+    SELECT COALESCE(cs.canonical_id,
+                    'a:' || tr.subj_type || ':' || lower(tr.subj_text)) AS subj_id,
+           ({_RC_LABEL_CASE}) AS pred,
+           COALESCE(co.canonical_id,
+                    'a:' || tr.obj_type || ':' || lower(tr.obj_text)) AS obj_id,
+           CAST(count(*) AS BIGINT) AS n_evidence
+    FROM triples tr
+    LEFT JOIN canon cs
+      ON lower(tr.subj_text) = cs.alias AND tr.subj_type = cs.ent_type
+    LEFT JOIN canon co
+      ON lower(tr.obj_text) = co.alias AND tr.obj_type = co.ent_type
+    WHERE b <> 0
+    GROUP BY 1, 2, 3
+"""
+
+
+# -- relational coverage ------------------------------------------------
+
+
+def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_REL_PRICING_SUMMARY = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_rel_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    customer = _load(spark, sf_dir, "customer")
+    nation = _load(spark, sf_dir, "nation")
+    region = _load(spark, sf_dir, "region")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+SQL_REL_REGION_REVENUE = """
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(DISTINCT o_orderkey) AS n_orders
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+"""
+
+
+def q_rel_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _load(spark, sf_dir, "lineitem")
+    return lineitem.filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_REL_FORECAST_REVENUE = """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+def q_rel_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _load(spark, sf_dir, "orders")
+    window = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(window))
+        .filter(F.col("rn") <= 2)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("rn").cast("long").alias("rank"),
+        )
+    )
+
+
+SQL_REL_TOP_ORDERS = """
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           round(o_totalprice, 2) AS totalprice, CAST(rn AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders
+    ) WHERE rn <= 2
+"""
+
+
+def q_rel_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _load(spark, sf_dir, "orders")
+    customer = _load(spark, sf_dir, "customer")
+    nation = _load(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .rollup("n_name", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+SQL_REL_ROLLUP_REVENUE = """
+    SELECT n_name, o_orderpriority,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP(n_name, o_orderpriority)
+"""
+
+
+def q_rel_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
+
+
+SQL_REL_CUSTOMERS_WITHOUT_ORDERS = """
+    SELECT c_custkey AS custkey, c_name AS name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_rel_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 train/test split, made reproducible cross-engine: md5-digit
+    bucket of doc_id (deterministic stand-in for seeded shuffle+slice,
+    ``collate_datasets.py:22-31``).
+    """
+    documents = _load(spark, sf_dir, "documents")
+    bucket = F.expr(
+        md5_digit_bucket_sql("cast(doc_id as string)", 10, dialect="spark")
+    )
+    return documents.select(
+        "doc_id",
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket < 9, F.lit("dev"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+SQL_REL_SPLIT = f"""
+    SELECT doc_id,
+           CASE WHEN ({md5_digit_bucket_sql("CAST(doc_id AS VARCHAR)", 10, "duckdb")}) < 8 THEN 'train'
+                WHEN ({md5_digit_bucket_sql("CAST(doc_id AS VARCHAR)", 10, "duckdb")}) < 9 THEN 'dev'
+                ELSE 'test' END AS split
+    FROM documents
+"""
+
+
+def q_rel_leakage_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 leakage dedup: documents whose exact text also appears in
+    another split (semi-join on the joined-token string,
+    ``collate_datasets.py:34-53``).
+    """
+    documents = _load(spark, sf_dir, "documents")
+    split = q_rel_deterministic_split(spark, sf_dir)
+    with_split = documents.join(split, "doc_id")
+    train = with_split.filter(F.col("split") == "train").select("text")
+    test = with_split.filter(F.col("split") == "test")
+    return test.join(train, "text", "left_semi").select("doc_id")
+
+
+SQL_REL_LEAKAGE = f"""
+    WITH s AS ({SQL_REL_SPLIT})
+    SELECT d.doc_id
+    FROM documents d JOIN s ON d.doc_id = s.doc_id
+    WHERE s.split = 'test'
+      AND EXISTS (
+        SELECT 1 FROM documents d2 JOIN s s2 ON d2.doc_id = s2.doc_id
+        WHERE s2.split = 'train' AND d2.text = d.text
+      )
+"""
+
+
+def q_rel_label_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents = _load(spark, sf_dir, "documents")
+    return documents.groupBy("lang", "source").agg(F.count("*").alias("n_docs"))
+
+
+SQL_REL_LABEL_COUNTS = """
+    SELECT lang, source, count(*) AS n_docs
+    FROM documents GROUP BY lang, source
+"""
+
+
+def q_rel_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap starts a new session."""
+    events = _load(spark, sf_dir, "events")
+    window = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet timestamps arrive as TIMESTAMP_NTZ; session TZ is UTC so
+    # the LTZ reinterpretation is the identity and epoch math matches
+    # DuckDB's naive epoch()
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    with_gap = events.withColumn(
+        "gap_s",
+        epoch - F.lag(epoch).over(window),
+    ).withColumn(
+        "new_session",
+        F.when(F.col("gap_s").isNull() | (F.col("gap_s") > 1800), 1).otherwise(0),
+    )
+    sessions = with_gap.withColumn(
+        "session_idx", F.sum("new_session").over(window)
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    ).select(
+        F.col("user_id").cast("long"),
+        F.col("session_idx").cast("long"),
+        "n_events",
+        "session_value",
+    )
+
+
+SQL_REL_SESSIONIZE = """
+    WITH g AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
+                      OR epoch(ts) - LAG(epoch(ts)) OVER w > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+        FROM g
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(session_idx AS BIGINT) AS session_idx,
+           count(*) AS n_events, round(sum(value), 2) AS session_value
+    FROM s GROUP BY user_id, session_idx
+"""
+
+
+def q_rel_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _load(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+SQL_REL_EVENTS_HOURLY = """
+    SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS total_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+"""
+
+
+def q_rel_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _load(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+SQL_REL_EVENTS_JSON = """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+"""
+
+
+# -- dedup / text / similarity -----------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(_load(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+    SELECT md5(text) AS text_hash, count(*) AS n_dups,
+           min(doc_id) AS canonical_doc_id
+    FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _load(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
+
+
+SQL_DEDUP_NGRAM = """
+    WITH nums AS (SELECT unnest(generate_series(1, 1000)) AS i),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ') AS shingle
+        FROM documents, nums
+        WHERE i <= greatest(len(string_split(text, ' ')) - 2, 1)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.8
+"""
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents = _load(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+    )
+
+
+SQL_TEXT_TOKEN_COUNT = r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+    FROM documents
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(_load(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_FINGERPRINT = """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+    FROM documents
+"""
+
+
+def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embeddings = _load(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") < 8)
+    return cosine_topk(embeddings, queries, k=5).select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        "cos",
+    )
+
+
+SQL_SIM_TOPK = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+    u AS (
+        SELECT qid, nid, unnest(qv) AS a, unnest(cv) AS b
+        FROM q, c WHERE qid <> nid
+    ),
+    s AS (
+        SELECT qid, nid,
+               round(SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))
+                     / (sqrt(SUM(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)))
+                        * sqrt(SUM(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)))), 4) AS cos
+        FROM u GROUP BY qid, nid
+    ),
+    r AS (
+        SELECT qid, nid, cos,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rn
+        FROM s
+    )
+    SELECT CAST(qid AS BIGINT) AS query_id, CAST(nid AS BIGINT) AS neighbor_id, cos
+    FROM r WHERE rn <= 5
+"""
+
+
+# -- registry -----------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_tokenize": q_kg_tokenize,
+    "kg_mentions": q_kg_mentions,
+    "kg_pairs": q_kg_pairs,
+    "kg_triples": q_kg_triples,
+    "kg_links": q_kg_links,
+    "kg_canonical_edges": q_kg_canonical_edges,
+    "rel_pricing_summary": q_rel_pricing_summary,
+    "rel_region_revenue": q_rel_region_revenue,
+    "rel_forecast_revenue": q_rel_forecast_revenue,
+    "rel_top_orders_per_customer": q_rel_top_orders_per_customer,
+    "rel_rollup_revenue": q_rel_rollup_revenue,
+    "rel_customers_without_orders": q_rel_customers_without_orders,
+    "rel_deterministic_split": q_rel_deterministic_split,
+    "rel_leakage_semi_join": q_rel_leakage_semi_join,
+    "rel_label_counts": q_rel_label_counts,
+    "rel_events_sessionize": q_rel_events_sessionize,
+    "rel_events_hourly": q_rel_events_hourly,
+    "rel_events_json_props": q_rel_events_json_props,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "text_token_count": q_text_token_count,
+    "text_fingerprint": q_text_fingerprint,
+    "sim_topk_cosine": q_sim_topk_cosine,
+}
+
+ORACLES: dict[str, str] = {
+    "kg_tokenize": SQL_KG_TOKENIZE,
+    "kg_mentions": SQL_KG_MENTIONS,
+    "kg_pairs": SQL_KG_PAIRS,
+    "kg_triples": SQL_KG_TRIPLES,
+    "kg_links": SQL_KG_LINKS,
+    "kg_canonical_edges": SQL_KG_CANONICAL_EDGES,
+    "rel_pricing_summary": SQL_REL_PRICING_SUMMARY,
+    "rel_region_revenue": SQL_REL_REGION_REVENUE,
+    "rel_forecast_revenue": SQL_REL_FORECAST_REVENUE,
+    "rel_top_orders_per_customer": SQL_REL_TOP_ORDERS,
+    "rel_rollup_revenue": SQL_REL_ROLLUP_REVENUE,
+    "rel_customers_without_orders": SQL_REL_CUSTOMERS_WITHOUT_ORDERS,
+    "rel_deterministic_split": SQL_REL_SPLIT,
+    "rel_leakage_semi_join": SQL_REL_LEAKAGE,
+    "rel_label_counts": SQL_REL_LABEL_COUNTS,
+    "rel_events_sessionize": SQL_REL_SESSIONIZE,
+    "rel_events_hourly": SQL_REL_EVENTS_HOURLY,
+    "rel_events_json_props": SQL_REL_EVENTS_JSON,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
+    "text_token_count": SQL_TEXT_TOKEN_COUNT,
+    "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "sim_topk_cosine": SQL_SIM_TOPK,
+}

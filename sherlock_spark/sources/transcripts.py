@@ -101,7 +101,7 @@ def transcripts_from_documents(
     """
     return documents.select(
         F.concat(F.lit("c"), (F.col("doc_id") % n_convs)).alias("conv_id"),
-        (F.col("doc_id") / n_convs).cast("int").alias("turn_idx"),
+        F.floor(F.col("doc_id") / n_convs).cast("int").alias("turn_idx"),
         F.element_at(
             F.array(*[F.lit(role) for role in ROLES]),
             (F.col("doc_id") % 3).cast("int") + 1,
@@ -121,7 +121,7 @@ def transcripts_from_documents_sql(n_convs: int = 100) -> str:
     """
     return f"""
         SELECT 'c' || CAST(doc_id % {n_convs} AS VARCHAR) AS conv_id,
-               CAST(doc_id / {n_convs} AS INT) AS turn_idx,
+               CAST(doc_id // {n_convs} AS INT) AS turn_idx,
                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'user'
                     WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
                text
