@@ -32,7 +32,11 @@ def connected_components(
     Component id = lexicographic min node id in the component.
     Deterministic; converges in O(graph diameter) iterations.
     """
-    sym = edges.select("src", "dst").union(
+    # materialize the edge list once — its lineage may contain the whole
+    # upstream extraction pipeline, which must not be recomputed on
+    # every iteration's join
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     nodes = sym.select(F.col("src").alias("node")).distinct()

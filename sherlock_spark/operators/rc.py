@@ -8,12 +8,17 @@ tokenization + cutoff detection), model decode
 the guid join-back ``transformers_binary_rc.py:59-69`` — which is a
 no-op here because pairs never leave their source row's partition.
 
-Spark shape: pair enumeration is a row-local double ``posexplode`` (no
-shuffle, quadratic-per-turn blowup bounded by ``max_mentions`` with the
-overflow *counted*, never silently dropped — SURVEY.md §4); the
-classifier is one iterator pandas UDF that runs the full feature
-conversion (shared pure code, byte-identical to the parity goldens) and
-a vectorized stub forward per Arrow batch.
+Spark shape: pair enumeration is a row-local double ``transform`` +
+``explode`` (no shuffle, quadratic-per-turn blowup bounded by
+``max_mentions`` with the overflow *counted*, never silently dropped —
+SURVEY.md §4). Feature-conversion bookkeeping (entity-cutoff and
+truncation flags) is pure prefix-sum arithmetic over per-turn subword
+piece counts (marking_fast.py closed forms) and therefore runs
+JVM-side as column expressions — the per-pair Arrow transfer carries
+only four scalar strings, not the words/mentions arrays. The model
+forward is the one iterator pandas UDF (per-worker singleton,
+vectorized per Arrow batch). The legacy full-conversion-in-UDF path is
+kept for the non-default mask strategies and as a parity reference.
 """
 
 from __future__ import annotations
@@ -234,6 +239,183 @@ def rc_classify_udf(
     return classify
 
 
+MODEL_RESULT_TYPE = T.StructType(
+    [
+        T.StructField("label", T.StringType()),
+        T.StructField("logits", T.MapType(T.StringType(), T.DoubleType())),
+    ]
+)
+
+
+def rc_model_udf(
+    spark: SparkSession,
+    labels: list[str],
+    rule_map: Optional[dict[tuple[str, str], str]] = None,
+    add_logits: bool = False,
+):
+    """The model forward alone as an iterator pandas UDF:
+    (subj_type, obj_type, subj_text, obj_text) -> struct<label, logits>.
+
+    Feature bookkeeping lives JVM-side (native_marking_flags); the UDF
+    input is four scalar strings per pair, so Arrow transfer is flat and
+    small. Decode = argmax over the vocabulary, exactly the reference
+    (``transformers_binary_rc.py:42-46``).
+    """
+    broadcast = spark.sparkContext.broadcast(
+        {"labels": list(labels), "rule_map": rule_map, "add_logits": add_logits}
+    )
+    cache_key = uuid.uuid4().hex
+
+    def _model():
+        cached = _MODEL_CACHE.get(cache_key)
+        if cached is None:
+            config = broadcast.value
+            cached = (
+                StubRcModel(config["labels"], config.get("rule_map")),
+                config["add_logits"],
+            )
+            _MODEL_CACHE[cache_key] = cached
+        return cached
+
+    @F.pandas_udf(MODEL_RESULT_TYPE)
+    def forward(
+        batches: Iterator[Tuple[pd.Series, pd.Series, pd.Series, pd.Series]]
+    ) -> Iterator[pd.DataFrame]:
+        model, emit_logits = _model()
+        labels_list = model.labels
+        for st, ot, sx, ox in batches:
+            pairs = list(zip(st, ot, sx, ox))
+            logits = model.forward_pairs(pairs)
+            pred_ids = logits.argmax(axis=1)
+            label_col = [labels_list[int(i)] for i in pred_ids]
+            if emit_logits:
+                logits_col = [
+                    {labels_list[j]: float(v) for j, v in enumerate(row)}
+                    for row in logits
+                ]
+            else:
+                logits_col = [None] * len(label_col)
+            yield pd.DataFrame({"label": label_col, "logits": logits_col})
+
+    return forward
+
+
+def piece_prefix_udf(spark: SparkSession, additional_tokens: Optional[list[str]] = None):
+    """Per-turn pandas UDF: words -> subword piece-count prefix sums
+    (array<int>, length len(words)+1). Runs once per turn, O(words),
+    with a per-worker word->count cache.
+    """
+    broadcast = spark.sparkContext.broadcast(list(additional_tokens or []))
+    cache_key = uuid.uuid4().hex
+
+    def _tok():
+        cached = _MODEL_CACHE.get(cache_key)
+        if cached is None:
+            tokenizer = BertLikeTokenizer(do_lower_case=True)
+            tokenizer.add_tokens(
+                ["[HEAD_START]", "[HEAD_END]", "[TAIL_START]", "[TAIL_END]"]
+            )
+            tokenizer.add_tokens(broadcast.value)
+            cached = (tokenizer, {})
+            _MODEL_CACHE[cache_key] = cached
+        return cached
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def prefix(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        tokenizer, counts = _tok()
+        for series in batches:
+            out = []
+            for words in series:
+                row_counts = []
+                for word in words:
+                    count = counts.get(word)
+                    if count is None:
+                        count = len(tokenizer.tokenize(word))
+                        counts[word] = count
+                    row_counts.append(count)
+                out.append(piece_prefix_sums(row_counts))
+            yield pd.Series(out)
+
+    return prefix
+
+
+def mask_pieces_map(
+    labels_in_lexicon: list[str], additional_tokens: Optional[list[str]] = None
+):
+    """Driver-side piece counts for the [HEAD=T]/[TAIL=T] masks, as a
+    literal map column label -> (head_pieces, tail_pieces).
+    """
+    tokenizer = BertLikeTokenizer(do_lower_case=True)
+    tokenizer.add_tokens(
+        ["[HEAD_START]", "[HEAD_END]", "[TAIL_START]", "[TAIL_END]"]
+    )
+    tokenizer.add_tokens(additional_tokens or [])
+    entries = {}
+    for label in labels_in_lexicon:
+        entries[label] = (
+            len(tokenizer.tokenize(f"[HEAD={label}]".lower())),
+            len(tokenizer.tokenize(f"[TAIL={label}]".lower())),
+        )
+    return entries
+
+
+def native_marking_flags(
+    entity_handling: str,
+    max_length: Optional[int],
+    head,
+    tail,
+    mask_map: Optional[dict[str, tuple[int, int]]] = None,
+) -> tuple:
+    """(cutoff, truncated) as Column expressions over a row with
+    ``words``, ``piece_prefix``, and head/tail mention structs — the
+    marking_fast.py closed forms, JVM-side. Supports the mark_entity
+    family (the mask strategies go through the UDF path).
+    """
+    if max_length is None:
+        return F.lit(False), F.lit(False)
+    n = F.size("words")
+    prefix = F.col("piece_prefix")
+    total_pieces = F.element_at(prefix, n + 1)
+    event_idxs = F.filter(
+        F.array(head["start"], tail["start"], head["end"], tail["end"]),
+        lambda idx: idx < n,
+    )
+    n_events = F.size(event_idxs)
+    max_idx = F.array_max(event_idxs)
+    if entity_handling == "mark_entity":
+        last_len = F.element_at(prefix, max_idx + 1) + n_events
+        cutoff = F.when(n_events == 0, F.lit(False)).otherwise(
+            last_len + F.lit(2) > F.lit(max_length)
+        )
+        truncated = total_pieces + n_events > F.lit(max_length)
+        return cutoff, truncated
+    if entity_handling == "mark_entity_append_ner":
+        head_pairs = []
+        tail_pairs = []
+        for label, (head_pieces, tail_pieces) in (mask_map or {}).items():
+            head_pairs.extend([F.lit(label), F.lit(head_pieces)])
+            tail_pairs.extend([F.lit(label), F.lit(tail_pieces)])
+        # unknown labels: masks split to 5 basic pieces ("[", "head", "=",
+        # "type", "]") only when the type itself is one basic token; the
+        # mask_map must cover the lexicon's label set
+        head_mask = (
+            F.coalesce(F.create_map(*head_pairs)[head["label"]], F.lit(5))
+            if head_pairs
+            else F.lit(5)
+        )
+        tail_mask = (
+            F.coalesce(F.create_map(*tail_pairs)[tail["label"]], F.lit(5))
+            if tail_pairs
+            else F.lit(5)
+        )
+        last_len = total_pieces + n_events + F.lit(2) + head_mask + tail_mask
+        return (
+            last_len + F.lit(2) > F.lit(max_length),
+            last_len > F.lit(max_length),
+        )
+    raise ValueError(f"no native path for {entity_handling}")
+
+
 def extract_triples(
     spark: SparkSession,
     annotated: DataFrame,
@@ -245,12 +427,80 @@ def extract_triples(
     max_mentions: int = 16,
     ignore_no_relation: bool = True,
     add_logits: bool = False,
+    ner_labels: Optional[list[str]] = None,
 ) -> DataFrame:
     """annotated (conv_id, turn_idx, words, ments, ...) -> triples table.
 
     Output: (conv_id, turn_idx, head_idx, tail_idx, subj_text,
     subj_type, pred, obj_text, obj_type[, logits]).
+
+    Default path (mark_entity family): feature bookkeeping JVM-side +
+    model-only pandas UDF. Mask strategies use the full-conversion UDF.
     """
+    # append_ner needs the NER label set for mask piece counts; without
+    # it the legacy full-conversion UDF path is used instead
+    native = entity_handling == "mark_entity" or (
+        entity_handling == "mark_entity_append_ner" and ner_labels is not None
+    )
+
+    pairs = enumerate_pairs(annotated, max_mentions=max_mentions)
+    head = F.element_at(F.col("ments"), F.col("head_idx") + 1)
+    tail = F.element_at(F.col("ments"), F.col("tail_idx") + 1)
+
+    if native:
+        if max_length is not None:
+            prefix_udf = piece_prefix_udf(spark, additional_tokens)
+            pairs = pairs.withColumn("piece_prefix", prefix_udf(F.col("words")))
+            mask_map = None
+            if entity_handling == "mark_entity_append_ner":
+                mask_map = mask_pieces_map(ner_labels, additional_tokens)
+            cutoff, truncated = native_marking_flags(
+                entity_handling, max_length, head, tail, mask_map
+            )
+        else:
+            cutoff, truncated = F.lit(False), F.lit(False)
+        model = rc_model_udf(spark, labels, rule_map, add_logits)
+        subj_text = F.concat_ws(
+            " ", F.slice(F.col("words"), head["start"] + 1, head["end"] - head["start"])
+        )
+        obj_text = F.concat_ws(
+            " ", F.slice(F.col("words"), tail["start"] + 1, tail["end"] - tail["start"])
+        )
+        classified = (
+            pairs.withColumn("cutoff", cutoff)
+            .withColumn("truncated", truncated)
+            .withColumn("subj_text", subj_text)
+            .withColumn("obj_text", obj_text)
+            .withColumn("subj_type", head["label"])
+            .withColumn("obj_type", tail["label"])
+            .filter(~F.col("cutoff"))
+            .withColumn(
+                "rc",
+                model(
+                    F.col("subj_type"),
+                    F.col("obj_type"),
+                    F.col("subj_text"),
+                    F.col("obj_text"),
+                ),
+            )
+        )
+        result = classified.filter(F.col("rc.label").isNotNull())
+        if ignore_no_relation:
+            result = result.filter(F.col("rc.label") != "no_relation")
+        return result.select(
+            "conv_id",
+            "turn_idx",
+            "head_idx",
+            "tail_idx",
+            "subj_text",
+            "subj_type",
+            F.col("rc.label").alias("pred"),
+            "obj_text",
+            "obj_type",
+            *([F.col("rc.logits").alias("logits")] if add_logits else []),
+        )
+
+    # legacy path: full feature conversion inside the UDF
     classify = rc_classify_udf(
         spark,
         labels,
@@ -260,15 +510,12 @@ def extract_triples(
         max_length=max_length,
         add_logits=add_logits,
     )
-    pairs = enumerate_pairs(annotated, max_mentions=max_mentions)
     classified = pairs.withColumn(
         "rc",
         classify(
             F.col("words"), F.col("ments"), F.col("head_idx"), F.col("tail_idx")
         ),
     )
-    head = F.element_at(F.col("ments"), F.col("head_idx") + 1)
-    tail = F.element_at(F.col("ments"), F.col("tail_idx") + 1)
     result = classified.filter(
         F.col("rc.label").isNotNull() & ~F.col("rc.cutoff")
     )

@@ -31,13 +31,22 @@ from sherlock_spark.operators.rc import extract_triples
 from sherlock_spark.plans.checkpoint import CheckpointManager
 
 
-def salt_by_conv(df: DataFrame, salt_buckets: int = 8) -> DataFrame:
+def salt_by_conv(
+    df: DataFrame, salt_buckets: int = 8, num_partitions: int | None = None
+) -> DataFrame:
     """Spread long conversations: partition key (conv_id, turn_idx %
     salt_buckets). Normal conversations still co-locate within a bucket;
     hot conversations fan out over ``salt_buckets`` partitions.
+
+    The partition count is explicit — downstream stages are
+    compute-bound (pair explode + model UDFs), and AQE's byte-based
+    coalescing would otherwise collapse a small-by-bytes shuffle onto
+    one task.
     """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(
-        F.col("conv_id"), (F.col("turn_idx") % F.lit(salt_buckets))
+        num_partitions, F.col("conv_id"), (F.col("turn_idx") % F.lit(salt_buckets))
     )
 
 

@@ -63,7 +63,15 @@ def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return transcripts_from_documents(_load(spark, sf_dir, "documents"), N_CONVS)
+    # The documents parquet is one file -> one input split, and the
+    # pipeline multiplies work per row (pair explode + model UDF), so
+    # spread turns across the cluster up front. The partition count is
+    # EXPLICIT: AQE's byte-based coalescing would collapse this tiny
+    # (by bytes) shuffle to one partition and serialize the whole
+    # compute-bound stage — partition by compute, not bytes.
+    return transcripts_from_documents(
+        _load(spark, sf_dir, "documents"), N_CONVS
+    ).repartition(spark.sparkContext.defaultParallelism, F.col("conv_id"))
 
 
 def _annotated(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,10 +278,20 @@ SQL_KG_LINKS = f"""
 
 
 def q_kg_canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    annotated = _annotated(spark, sf_dir)
+    # NER output feeds both linking and extraction — persist it, pruned
+    # to the columns those stages read (drop text/tokens/bio)
+    annotated = (
+        _annotated(spark, sf_dir)
+        .select("conv_id", "turn_idx", "words", "ments")
+        .persist()
+    )
     alias_df = make_alias_df(spark, CANON_ALIASES)
     links = linked_mentions(annotated, alias_df)
-    canonical_map = canonicalize(links)
+    # the tiny canonical map is broadcast twice (subj + obj joins) —
+    # checkpoint so the CC loop and its upstream link scan run once
+    canonical_map = canonicalize(links).localCheckpoint(eager=False)
+    # triple extraction is the expensive stage — materialize it once so
+    # the node/edge aggregations don't re-run the model UDF
     triples = extract_triples(
         spark,
         annotated,
@@ -282,7 +300,7 @@ def q_kg_canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         entity_handling="mark_entity",
         max_length=None,
         max_mentions=MAX_MENTIONS,
-    )
+    ).localCheckpoint(eager=False)
     _nodes, edges = materialize_graph(triples, canonical_map)
     return edges.select(
         "subj_id", "pred", "obj_id", F.col("n_evidence").cast("long")
