@@ -1,0 +1,104 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Opaque media live as ``binary`` columns with typed metadata; decode and
+feature extraction run as Arrow-batched ``mapInPandas`` stages. The
+container ships no image/audio codecs, so the actual decode is STUBBED:
+with real libraries available (PIL/torchaudio/etc.) only
+``_decode_image_bytes`` changes — schema, partitioning, UDF signature
+and batch shape are the production code and are tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+        T.StructField("content_hash", T.StringType(), False),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def _decode_image_bytes(payload: bytes) -> np.ndarray:
+    """STUB decode: real deployments replace this with PIL/libjpeg.
+    Deterministic fake: a 16-dim feature from the payload's md5 bytes,
+    normalized — keeps downstream similarity search exercisable.
+    """
+    digest = hashlib.md5(payload or b"").digest()
+    vec = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
+    norm = float(np.linalg.norm(vec)) or 1.0
+    return vec / norm
+
+
+def extract_media_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
+    """media (MEDIA_SCHEMA) -> per-item feature rows (FEATURE_SCHEMA).
+
+    ``mapInPandas``: whole-batch processing so a real decoder can
+    vectorize/pin threads per batch; binary payloads never leave the
+    executor as Python objects row-by-row.
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            features = []
+            hashes = []
+            sizes = []
+            for payload in pdf["payload"]:
+                data = bytes(payload) if payload is not None else b""
+                sizes.append(len(data))
+                hashes.append(hashlib.md5(data).hexdigest())
+                features.append(_decode_image_bytes(data).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pd.Series(sizes, dtype="int32"),
+                    "feature": features,
+                    "content_hash": hashes,
+                }
+            )
+
+    return media.mapInPandas(process, schema=FEATURE_SCHEMA)
+
+
+def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plumbing for video rows: one output row per
+    sampled timestamp (real decoder would attach the frame payload).
+    """
+    from pyspark.sql import functions as F
+
+    video = media.filter(F.col("kind") == "video")
+    return video.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )

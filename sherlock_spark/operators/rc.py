@@ -365,16 +365,21 @@ def native_marking_flags(
     head,
     tail,
     mask_map: Optional[dict[str, tuple[int, int]]] = None,
+    n=None,
+    prefix=None,
 ) -> tuple:
-    """(cutoff, truncated) as Column expressions over a row with
-    ``words``, ``piece_prefix``, and head/tail mention structs — the
-    marking_fast.py closed forms, JVM-side. Supports the mark_entity
-    family (the mask strategies go through the UDF path).
+    """(cutoff, truncated) as Column expressions — the marking_fast.py
+    closed forms, JVM-side. ``n``/``prefix`` default to the row's
+    ``words``/``piece_prefix`` columns but can be any expressions (e.g.
+    lambda variables inside a per-pair ``transform``). Supports the
+    mark_entity family (the mask strategies go through the UDF path).
     """
     if max_length is None:
         return F.lit(False), F.lit(False)
-    n = F.size("words")
-    prefix = F.col("piece_prefix")
+    if n is None:
+        n = F.size("words")
+    if prefix is None:
+        prefix = F.col("piece_prefix")
     total_pieces = F.element_at(prefix, n + 1)
     event_idxs = F.filter(
         F.array(head["start"], tail["start"], head["end"], tail["end"]),
@@ -443,46 +448,84 @@ def extract_triples(
         entity_handling == "mark_entity_append_ner" and ner_labels is not None
     )
 
-    pairs = enumerate_pairs(annotated, max_mentions=max_mentions)
-    head = F.element_at(F.col("ments"), F.col("head_idx") + 1)
-    tail = F.element_at(F.col("ments"), F.col("tail_idx") + 1)
-
     if native:
+        # Fused pair construction: every per-pair field (texts, types,
+        # marking flags) is computed INSIDE the per-turn pair array, so
+        # the explode emits small self-contained structs. Exploding with
+        # wide carried columns (words/ments copied into every pair row)
+        # is an allocation bomb at scale — ~1 KB x pairs — that turns GC
+        # into a serialized resource; this keeps it ~100 B x pairs.
+        turns = annotated.select("conv_id", "turn_idx", "words", "ments")
         if max_length is not None:
             prefix_udf = piece_prefix_udf(spark, additional_tokens)
-            pairs = pairs.withColumn("piece_prefix", prefix_udf(F.col("words")))
+            turns = turns.withColumn("piece_prefix", prefix_udf(F.col("words")))
             mask_map = None
             if entity_handling == "mark_entity_append_ner":
                 mask_map = mask_pieces_map(ner_labels, additional_tokens)
-            cutoff, truncated = native_marking_flags(
-                entity_handling, max_length, head, tail, mask_map
+
+        n_ments = F.size("ments")
+        capped = F.least(n_ments, F.lit(max_mentions))
+        indices = F.sequence(F.lit(0), capped - 1)
+        n_words = F.size("words")
+
+        def ment_text(ment):
+            return F.concat_ws(
+                " ",
+                F.slice(F.col("words"), ment["start"] + 1, ment["end"] - ment["start"]),
             )
-        else:
-            cutoff, truncated = F.lit(False), F.lit(False)
+
+        def pair_struct(h_idx, t_idx):
+            head = F.element_at(F.col("ments"), h_idx + 1)
+            tail = F.element_at(F.col("ments"), t_idx + 1)
+            if max_length is not None:
+                cutoff, truncated = native_marking_flags(
+                    entity_handling,
+                    max_length,
+                    head,
+                    tail,
+                    mask_map,
+                    n=n_words,
+                    prefix=F.col("piece_prefix"),
+                )
+            else:
+                cutoff, truncated = F.lit(False), F.lit(False)
+            return F.struct(
+                h_idx.alias("head_idx"),
+                t_idx.alias("tail_idx"),
+                ment_text(head).alias("subj_text"),
+                head["label"].alias("subj_type"),
+                ment_text(tail).alias("obj_text"),
+                tail["label"].alias("obj_type"),
+                cutoff.alias("cutoff"),
+                truncated.alias("truncated"),
+            )
+
+        pair_array = F.filter(
+            F.flatten(
+                F.transform(
+                    indices,
+                    lambda h: F.transform(indices, lambda t: pair_struct(h, t)),
+                )
+            ),
+            lambda pair: (pair["head_idx"] != pair["tail_idx"])
+            & ~pair["cutoff"],
+        )
+
+        pairs = turns.select(
+            "conv_id",
+            "turn_idx",
+            F.explode(F.when(n_ments >= 2, pair_array)).alias("pair"),
+        ).select("conv_id", "turn_idx", "pair.*")
+
         model = rc_model_udf(spark, labels, rule_map, add_logits)
-        subj_text = F.concat_ws(
-            " ", F.slice(F.col("words"), head["start"] + 1, head["end"] - head["start"])
-        )
-        obj_text = F.concat_ws(
-            " ", F.slice(F.col("words"), tail["start"] + 1, tail["end"] - tail["start"])
-        )
-        classified = (
-            pairs.withColumn("cutoff", cutoff)
-            .withColumn("truncated", truncated)
-            .withColumn("subj_text", subj_text)
-            .withColumn("obj_text", obj_text)
-            .withColumn("subj_type", head["label"])
-            .withColumn("obj_type", tail["label"])
-            .filter(~F.col("cutoff"))
-            .withColumn(
-                "rc",
-                model(
-                    F.col("subj_type"),
-                    F.col("obj_type"),
-                    F.col("subj_text"),
-                    F.col("obj_text"),
-                ),
-            )
+        classified = pairs.withColumn(
+            "rc",
+            model(
+                F.col("subj_type"),
+                F.col("obj_type"),
+                F.col("subj_text"),
+                F.col("obj_text"),
+            ),
         )
         result = classified.filter(F.col("rc.label").isNotNull())
         if ignore_no_relation:
@@ -499,6 +542,10 @@ def extract_triples(
             "obj_type",
             *([F.col("rc.logits").alias("logits")] if add_logits else []),
         )
+
+    pairs = enumerate_pairs(annotated, max_mentions=max_mentions)
+    head = F.element_at(F.col("ments"), F.col("head_idx") + 1)
+    tail = F.element_at(F.col("ments"), F.col("tail_idx") + 1)
 
     # legacy path: full feature conversion inside the UDF
     classify = rc_classify_udf(

@@ -650,6 +650,32 @@ SQL_REL_EVENTS_JSON = """
 # -- dedup / text / similarity -----------------------------------------
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 corpus statistics (businesswire_statistics.py:35-113
+    analogue): per language — document count, word/char totals, average
+    document length, distinct sources.
+    """
+    documents = _load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return documents.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(words)).cast("long").alias("total_words"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+SQL_CORPUS_STATS = """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           round(avg(length(text)), 2) AS avg_chars,
+           count(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(_load(spark, sf_dir, "documents"))
 
@@ -773,6 +799,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_events_sessionize": q_rel_events_sessionize,
     "rel_events_hourly": q_rel_events_hourly,
     "rel_events_json_props": q_rel_events_json_props,
+    "corpus_stats": q_corpus_stats,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_token_count": q_text_token_count,
@@ -799,6 +826,7 @@ ORACLES: dict[str, str] = {
     "rel_events_sessionize": SQL_REL_SESSIONIZE,
     "rel_events_hourly": SQL_REL_EVENTS_HOURLY,
     "rel_events_json_props": SQL_REL_EVENTS_JSON,
+    "corpus_stats": SQL_CORPUS_STATS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,

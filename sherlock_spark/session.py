@@ -8,6 +8,8 @@ Arrow batching for the model UDFs).
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -53,7 +55,12 @@ def get_spark(
         # across tasks (the stand-in for sherlock's one-time model load,
         # reference: sherlock/annotators/spacy.py:17,24-55).
         .config("spark.python.worker.reuse", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # local mode: the driver JVM is the whole engine. The explode-
+        # heavy extraction stages allocate proportionally to concurrency;
+        # an undersized heap turns GC into a serialized resource and
+        # *inverts* scaling (measured: 32 tasks 5x slower at 24g than
+        # 64g on a 128 GiB box)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
@@ -61,4 +68,45 @@ def get_spark(
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
+
+
+def build_pyfiles_zip(target: str | None = None) -> str:
+    """Zip the sherlock_spark package for ``spark-submit --py-files`` /
+    ``addPyFile`` distribution. Returns the zip path.
+    """
+    package_dir = os.path.dirname(os.path.abspath(__file__))
+    if target is None:
+        target = os.path.join(tempfile.gettempdir(), "sherlock_spark_pyfiles.zip")
+    with zipfile.ZipFile(target, "w", zipfile.ZIP_DEFLATED) as archive:
+        for root, _dirs, files in os.walk(package_dir):
+            if "__pycache__" in root:
+                continue
+            for name in files:
+                if not name.endswith(".py"):
+                    continue
+                full = os.path.join(root, name)
+                rel = os.path.join(
+                    "sherlock_spark", os.path.relpath(full, package_dir)
+                )
+                archive.write(full, rel)
+    return target
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make sherlock_spark importable on executor Python workers.
+
+    Driver-side ``sys.path`` does not propagate to workers; the package
+    must travel via the files mechanism (the local-mode equivalent of
+    ``spark-submit --py-files``). Idempotent per session.
+    """
+    if getattr(spark, "_sherlock_pyfiles_shipped", False):
+        return
+    try:
+        spark.sparkContext.addPyFile(build_pyfiles_zip())
+    except Exception:
+        # e.g. a file with the same name already registered — workers
+        # then already have the package
+        pass
+    spark._sherlock_pyfiles_shipped = True

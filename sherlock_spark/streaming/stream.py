@@ -1,0 +1,116 @@
+"""Streaming KG extraction: transcripts arriving as files -> triples.
+
+The reference is pure batch (SURVEY.md §1.1); this is the
+Structured-Streaming expression of the same per-turn dataflow, which is
+legal verbatim because every extraction stage is narrow (tokenize, NER
+UDF, span decode, row-local pair explode, model UDF, filter) — no
+batch-only operations. Exactly-once delivery to the sink comes from the
+file sink's commit log + checkpointLocation; duplicate turns across
+replayed batches are dropped with a watermarked ``dropDuplicates`` on
+the turn key.
+
+``stream_triple_rates`` adds the canonical late-data pattern: per-
+conversation triple counts over event-time windows with a watermark.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sherlock_spark.model_stub import DEFAULT_NER_LEXICON, DEFAULT_RC_LABELS
+from sherlock_spark.operators.ner import annotate_mentions
+from sherlock_spark.operators.rc import extract_triples
+from sherlock_spark.schemas import TRANSCRIPT
+
+
+def read_transcript_stream(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    reader = spark.readStream.schema(TRANSCRIPT)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def stream_extract_triples(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    ner_lexicon: Optional[dict[str, str]] = None,
+    rc_labels: Optional[list[str]] = None,
+    rc_rule_map: Optional[dict[tuple[str, str], str]] = None,
+    available_now: bool = True,
+    watermark: str = "1 hour",
+):
+    """Start (and return) the streaming query writing the triples table.
+
+    ``available_now=True`` processes the current backlog then stops —
+    the batch-equivalent trigger used in tests and backfills; in
+    production use a processing-time trigger instead.
+    """
+    stream = read_transcript_stream(spark, input_dir)
+    deduped = stream.withWatermark("ts", watermark).dropDuplicates(
+        ["conv_id", "turn_idx"]
+    )
+    annotated = annotate_mentions(
+        spark, deduped, DEFAULT_NER_LEXICON if ner_lexicon is None else ner_lexicon
+    )
+    triples = extract_triples(
+        spark,
+        annotated,
+        labels=DEFAULT_RC_LABELS if rc_labels is None else rc_labels,
+        rule_map=rc_rule_map,
+        entity_handling="mark_entity",
+        max_length=None,
+    )
+    writer = (
+        triples.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_triple_rates(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    ner_lexicon: Optional[dict[str, str]] = None,
+):
+    """Windowed mention-rate aggregation with late-data handling:
+    per conv_id, per event-time window, mention count — the streaming
+    metrics feed. Returns a DataFrame ready for writeStream (the caller
+    picks sink/trigger); aggregation state is bounded by the watermark.
+    """
+    stream = read_transcript_stream(spark, input_dir)
+    annotated = annotate_mentions(
+        spark,
+        stream.withWatermark("ts", watermark),
+        DEFAULT_NER_LEXICON if ner_lexicon is None else ner_lexicon,
+    )
+    return (
+        annotated.groupBy(
+            F.window("ts", window).alias("time_window"), "conv_id"
+        )
+        .agg(
+            F.sum(F.size("ments")).alias("n_mentions"),
+            F.count("*").alias("n_turns"),
+        )
+        .select(
+            F.col("time_window.start").alias("window_start"),
+            "conv_id",
+            "n_mentions",
+            "n_turns",
+        )
+    )

@@ -1,0 +1,144 @@
+"""N-vs-4N scaling evidence (BASELINE.md): run the flagship extraction
+job at local[8] and local[32] on the same input, report throughput at
+both and the scaling efficiency (throughput ratio / cores ratio).
+
+The sandbox host is shared; each configuration takes the min of
+``--reps`` runs (default 3) to damp external load bursts. Fresh
+subprocess per configuration because a SparkSession's master is fixed
+for the JVM's lifetime.
+
+Usage: python tools/bench_scaling.py [--sf-dir DIR] [--reps N]
+Writes BENCH.md and prints the JSON result.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+WORKER = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F
+from sherlock_spark.session import get_spark
+from sherlock_spark.sources.transcripts import transcripts_from_documents
+from sherlock_spark.operators.ner import annotate_mentions
+from sherlock_spark.operators.rc import extract_triples
+from sherlock_spark.model_stub import DEFAULT_NER_LEXICON, DEFAULT_RC_LABELS
+
+cores = int(sys.argv[1])
+sf_dir = sys.argv[2]
+reps = int(sys.argv[3])
+replicate = int(sys.argv[4])
+spark = get_spark("scaling", cores=cores)
+spark.range(1000).count()  # warm JVM + workers
+
+# replicate the corpus so the job is long enough to amortize fixed
+# job-scheduling overheads at the larger core count (deterministic:
+# replica id becomes part of the conv key)
+docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+docs = docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))
+docs = docs.withColumn("doc_id", F.col("doc_id") * replicate + F.col("rep")).drop("rep")
+turns = docs.count()
+
+def run():
+    t = transcripts_from_documents(docs, 100 * replicate).repartition(
+        spark.sparkContext.defaultParallelism, F.col("conv_id")
+    )
+    ann = annotate_mentions(spark, t, DEFAULT_NER_LEXICON)
+    return extract_triples(
+        spark, ann, DEFAULT_RC_LABELS, None,
+        entity_handling="mark_entity", max_length=None, max_mentions=16,
+    )
+
+best = None
+count = 0
+for _ in range(reps):
+    t0 = time.time()
+    count = run().count()
+    dt = time.time() - t0
+    best = dt if best is None else min(best, dt)
+print(json.dumps({
+    "cores": cores, "seconds": round(best, 3), "triples": count,
+    "turns": turns,
+    "triples_per_sec": round(count / best, 1),
+    "turns_per_sec": round(turns / best, 1),
+}))
+"""
+
+
+def run_config(cores: int, sf_dir: str, reps: int, replicate: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER, str(cores), sf_dir, str(reps), str(replicate)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=1800,
+    )
+    for line in out.stdout.strip().splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"worker failed: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    parser.add_argument("--reps", type=int, default=3)
+    parser.add_argument("--small", type=int, default=8)
+    parser.add_argument("--large", type=int, default=32)
+    parser.add_argument("--replicate", type=int, default=10)
+    args = parser.parse_args()
+
+    small = run_config(args.small, args.sf_dir, args.reps, args.replicate)
+    large = run_config(args.large, args.sf_dir, args.reps, args.replicate)
+    speedup = small["seconds"] / large["seconds"]
+    cores_ratio = args.large / args.small
+    efficiency = speedup / cores_ratio
+    result = {
+        "sf_dir": args.sf_dir,
+        "small": small,
+        "large": large,
+        "speedup": round(speedup, 3),
+        "cores_ratio": cores_ratio,
+        "scaling_efficiency": round(efficiency, 3),
+    }
+    print(json.dumps(result))
+
+    with open("/root/repo/BENCH.md", "w") as handle:
+        handle.write(f"""# BENCH — measured throughput and N-vs-4N scaling
+
+Flagship job: full triple extraction (transcript scan -> repartition by
+conv_id -> tokenize -> NER tagging (pandas UDF) -> BIO span decode ->
+pair enumeration (row-local double explode, capped) -> JVM-side marking
+flags -> RC model forward (pandas UDF) -> argmax -> no_relation filter)
+over the transcript table derived from
+`{args.sf_dir}/documents.parquet` replicated x{args.replicate}
+({small['turns']} turns) so the job is long enough to amortize fixed
+scheduling overheads at the larger core count.
+
+Sandbox proxy for the two-cluster-size criterion (per driver
+instruction): same job, same input, `local[{args.small}]` vs
+`local[{args.large}]`; min of {args.reps} runs per configuration (the
+host is shared; min damps external load bursts).
+
+| config | wall (s) | triples | triples/sec | turns/sec |
+|---|---|---|---|---|
+| local[{args.small}] (N) | {small['seconds']} | {small['triples']} | {small['triples_per_sec']} | {small['turns_per_sec']} |
+| local[{args.large}] (4N) | {large['seconds']} | {large['triples']} | {large['triples_per_sec']} | {large['turns_per_sec']} |
+
+- speedup (N -> 4N): **{result['speedup']}x** on a {cores_ratio:.0f}x core ratio
+- **scaling efficiency: {result['scaling_efficiency']}** (target >= 0.8, BASELINE.md)
+
+Reproduce: `python tools/bench_scaling.py --sf-dir {args.sf_dir}`.
+Per-query timings: `SPARK_GRAFT_CPUS=32 python bench.py`.
+""")
+    print("wrote BENCH.md", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
