@@ -297,7 +297,11 @@ def rc_model_udf(
                 logits_col = [None] * len(label_col)
             yield pd.DataFrame({"label": label_col, "logits": logits_col})
 
-    return forward
+    # the forward IS deterministic, but Catalyst duplicates deterministic
+    # UDFs when pushing the no_relation filter through the projection —
+    # two full model evaluations per pair; the standard fix is to opt
+    # out of expression duplication
+    return forward.asNondeterministic()
 
 
 def piece_prefix_udf(spark: SparkSession, additional_tokens: Optional[list[str]] = None):

@@ -1,0 +1,128 @@
+"""Text analysis + similarity-search operators."""
+
+from pyspark.sql import functions as F
+
+from sherlock_spark.functions.dedup import (
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_candidates,
+)
+from sherlock_spark.functions.similarity import (
+    cosine_topk,
+    hyperplane_lsh_candidates,
+)
+from sherlock_spark.functions.textstats import (
+    fingerprint,
+    language_id,
+    quality_score,
+    with_text_stats,
+)
+
+
+def test_language_id(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is in that house for now"),
+            (2, "der hund ist nicht mit der katze und das haus"),
+            (3, "le chat est dans la maison et les chiens pour"),
+            (4, "xyzzy qwerty plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.pred_lang for r in language_id(docs).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "fr"
+    assert got[4] == "und"
+
+
+def test_text_stats_and_quality(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    stats = with_text_stats(docs).first()
+    assert stats.n_words == 9
+    assert stats.n_tokens == 9
+    assert abs(stats.stopword_ratio - 2 / 9) < 1e-3  # two "the"
+    assert abs(stats.distinct_ratio - 8 / 9) < 1e-3
+    scored = quality_score(with_text_stats(docs)).first()
+    assert 0.0 <= scored.quality <= 1.0
+
+
+def test_fingerprint_order_insensitive(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.fingerprint for r in fingerprint(docs).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_minhash_recall_vs_exact(spark):
+    """Property: LSH-verified near-dup pairs == exact pairs on a corpus
+    with clear duplicates (high-Jaccard pairs are caught by 8 bands of 4).
+    """
+    base = "w%d " * 30
+    texts = []
+    for i in range(10):
+        words = [f"w{j}" for j in range(30)]
+        texts.append((i, " ".join(words)))                     # identical x10
+    for i in range(10, 20):
+        words = [f"w{j}" for j in range(30)]
+        words[i % 30] = f"u{i}"                                # 1-word variants
+        texts.append((i, " ".join(words)))
+    for i in range(20, 30):
+        texts.append((i, " ".join(f"z{i}_{j}" for j in range(30))))  # unrelated
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_dedup_pairs(docs, threshold=0.8).collect()
+    }
+    assert lsh == exact
+    assert len(exact) >= 45  # the 10 identical docs alone give C(10,2)
+
+
+def test_simhash_identical_docs_collide(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "q r s t u v")],
+        "doc_id long, text string",
+    )
+    hashes = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert hashes[1] == hashes[2]
+    assert hashes[1] != hashes[3]
+    cands = {
+        (r.doc_a, r.doc_b) for r in simhash_candidates(docs).collect()
+    }
+    assert (1, 2) in cands
+
+
+def test_cosine_topk_and_lsh(spark):
+    import math
+
+    rows = []
+    for i in range(20):
+        vec = [0.0] * 8
+        vec[i % 4] = 1.0
+        vec[(i % 4 + 1) % 8] = 0.1 * (i % 3)
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    topk = cosine_topk(emb, emb.filter(F.col("vec_id") < 2), k=3)
+    got = topk.collect()
+    assert len(got) == 6
+    for row in got:
+        assert -1.0001 <= row.cos <= 1.0001
+    # exact self-similar vectors rank first
+    best = {r.query_id: r for r in topk.filter("cos >= 0.99").collect()}
+    assert 0 in best or 1 in best
+
+    cands = hyperplane_lsh_candidates(emb, n_planes=8, bands=2, dim=8)
+    pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    # identical direction vectors must share all sign buckets
+    assert (0, 4) in pairs or (0, 8) in pairs or (0, 12) in pairs

@@ -1,0 +1,116 @@
+"""Plan audit: verify that the physical plans have the properties the
+engine is designed around — parquet filter pushdown + column pruning,
+broadcast joins for dims, partial (map-side) aggregation, and no
+unexpected shuffles in the extraction chain.
+
+Usage: python tools/explain_audit.py [sf_dir]
+Prints one PASS/FAIL line per assertion plus the offending plan on FAIL.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pyspark.sql import functions as F
+
+    from sherlock_spark.session import get_spark
+    from sherlock_spark.queries import (
+        q_kg_triples,
+        q_rel_pricing_summary,
+        q_rel_region_revenue,
+        _transcripts,
+    )
+    from sherlock_spark.operators.ner import annotate_mentions
+    from sherlock_spark.operators.rc import extract_triples
+    from sherlock_spark.model_stub import DEFAULT_NER_LEXICON, DEFAULT_RC_LABELS
+
+    spark = get_spark("explain_audit", cores=8)
+    failures = []
+
+    def check(name: str, ok: bool, plan: str) -> None:
+        print(f"{'PASS' if ok else 'FAIL'} {name}")
+        if not ok:
+            failures.append(name)
+            print(plan[:4000])
+
+    # 1. filter pushdown + column pruning reach the lineitem scan
+    plan = plan_of(q_rel_pricing_summary(spark, sf_dir))
+    check(
+        "pricing_summary: parquet PushedFilters on l_shipdate",
+        re.search(r"PushedFilters: \[.*l_shipdate", plan) is not None,
+        plan,
+    )
+    check(
+        "pricing_summary: ReadSchema prunes to used columns (no l_orderkey)",
+        "l_orderkey" not in re.search(r"ReadSchema: [^\n]*", plan).group(0),
+        plan,
+    )
+    check(
+        "pricing_summary: partial aggregation (map-side combine)",
+        "partial_" in plan or "HashAggregate" in plan,
+        plan,
+    )
+
+    # 2. dimension joins broadcast
+    plan = plan_of(q_rel_region_revenue(spark, sf_dir))
+    check(
+        "region_revenue: nation/region joined via BroadcastHashJoin",
+        plan.count("BroadcastHashJoin") >= 2,
+        plan,
+    )
+
+    # 3. extraction chain: exactly one exchange (the explicit
+    #    repartition) before the triples land — tokenize/NER/pairs/model
+    #    are all narrow
+    plan = plan_of(q_kg_triples(spark, sf_dir))
+    n_exchange = len(re.findall(r"Exchange ", plan))
+    check(
+        f"kg_triples: single exchange in the extraction chain (got {n_exchange})",
+        n_exchange == 1,
+        plan,
+    )
+    check(
+        "kg_triples: ArrowEvalPython stages present (vectorized UDFs)",
+        "ArrowEvalPython" in plan or "BatchEvalPython" not in plan,
+        plan,
+    )
+    check(
+        "kg_triples: no row-at-a-time Python (BatchEvalPython)",
+        "BatchEvalPython" not in plan,
+        plan,
+    )
+
+    # 4. no-max-length path must not invoke the prefix UDF at all
+    annotated = annotate_mentions(
+        spark, _transcripts(spark, sf_dir), DEFAULT_NER_LEXICON
+    )
+    plan = plan_of(
+        extract_triples(
+            spark, annotated, DEFAULT_RC_LABELS, None,
+            entity_handling="mark_entity", max_length=None,
+        )
+    )
+    n_arrow = plan.count("ArrowEvalPython")
+    check(
+        f"extract(max_length=None): exactly 3 Arrow UDF evals — NER, "
+        f"span decode, model (got {n_arrow})",
+        n_arrow == 3,
+        plan,
+    )
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
