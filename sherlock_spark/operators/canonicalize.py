@@ -48,31 +48,37 @@ def connected_components(
             .groupBy(F.col("dst").alias("node2"))
             .agg(F.min("component").alias("neighbor_component"))
         )
-        updated = (
-            comp.join(neighbor_min, comp.node == F.col("node2"), "left")
-            .select(
-                "node",
-                "component",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("neighbor_component"), F.col("component")),
-                ).alias("new_component"),
-            )
-            .persist()
+        updated = comp.join(
+            neighbor_min, comp.node == F.col("node2"), "left"
+        ).select(
+            "node",
+            "component",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("neighbor_component"), F.col("component")),
+            ).alias("new_component"),
         )
-        changed = updated.filter(
-            F.col("new_component") != F.col("component")
-        ).limit(1).count()
-        previous = comp
+        # Convergence is checked only on checkpoint iterations — a
+        # blocking count() per iteration doubles the job count for a
+        # loop that converges in O(diameter); the check piggybacks on
+        # the lineage-cut materialization (localCheckpoint stores the
+        # blocks, so the changed-scan is a cheap local read, and no
+        # persist/unpersist bookkeeping can leak cached plans). At most
+        # checkpoint_every - 1 extra no-op iterations run past
+        # convergence; each is one small shuffle on an already-stable
+        # comp.
+        check = (iteration + 1) % checkpoint_every == 0 or (
+            iteration == max_iterations - 1
+        )
+        if check:
+            updated = updated.localCheckpoint(eager=True)
+            changed = updated.filter(
+                F.col("new_component") != F.col("component")
+            ).limit(1).count()
         comp = updated.select(
             "node", F.col("new_component").alias("component")
         )
-        if (iteration + 1) % checkpoint_every == 0:
-            # cut lineage so plans stay bounded across iterations
-            comp = comp.localCheckpoint(eager=True)
-        if hasattr(previous, "unpersist"):
-            previous.unpersist()
-        if changed == 0:
+        if check and changed == 0:
             break
     return comp
 
@@ -132,9 +138,14 @@ def materialize_graph(
         F.col("ment_label").alias("obj_type"),
         F.col("canonical_id").alias("obj_id"),
     )
+    # No broadcast hint: the canonical map is the full distinct surface
+    # vocabulary — data-sized, a driver-OOM at 10^12 turns if forced to
+    # broadcast. AQE picks broadcast when the map is actually small and
+    # falls back to a (skew-handled) shuffle join when it isn't; for
+    # co-located repeats, bucket both sides on the norm key upstream.
     resolved = (
-        with_subj.join(F.broadcast(subj_map), ["subj_norm", "subj_type"], "left")
-        .join(F.broadcast(obj_map), ["obj_norm", "obj_type"], "left")
+        with_subj.join(subj_map, ["subj_norm", "subj_type"], "left")
+        .join(obj_map, ["obj_norm", "obj_type"], "left")
         .withColumn(
             "subj_id",
             F.coalesce(

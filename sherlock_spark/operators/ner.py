@@ -2,11 +2,23 @@
 
 Reference lifecycle (SURVEY.md §3.1): per-turn text -> word tokens with
 char offsets -> BIO tags from the token-classification model -> mention
-spans. Spark shape: tokenization and offsets are pure Catalyst
-expressions; the model forward is an iterator pandas UDF with an
+spans. Spark shape: the word split is a Catalyst expression; offsets and
+the model forward + BIO span decode are ONE iterator pandas UDF with an
 executor-global singleton model (one load per Python worker, never per
-row — reference one-time-load analogue, ``spacy.py:17,24-55``); span
-decode is a vectorized pandas UDF over the shared pure codec.
+row — reference one-time-load analogue, ``spacy.py:17,24-55``).
+
+Why fused: chaining a second pandas UDF onto the tag UDF's output forces
+a second Arrow round-trip per stage (measured 1.6 s -> 41 s at sf0.1 for
+5k turns); tags never need to surface as a column except for debugging,
+so the default path decodes spans inside the same Python stage. The
+two-stage path (``ner_tags_udf`` + ``bio_to_mentions``) is kept for
+parity tests and debugging.
+
+All UDFs are marked ``asNondeterministic()``: they ARE deterministic,
+but Catalyst duplicates deterministic expressions when collapsing
+projections / pushing filters, which re-runs the whole Python stage once
+per referencing expression — the standard opt-out keeps exactly one
+ArrowEvalPython evaluation per row.
 """
 
 from __future__ import annotations
@@ -23,7 +35,7 @@ from pyspark.sql import types as T
 from sherlock_spark.model_stub import StubNerModel
 from sherlock_spark.text.spans import bio_tags_to_spans, spans_to_exclusive_sorted
 
-_MODEL_CACHE: dict[int, StubNerModel] = {}
+_MODEL_CACHE: dict[str, StubNerModel] = {}
 
 # explicit DataType (not DDL string): keeps UDF construction independent
 # of an active SparkSession at import time
@@ -33,6 +45,16 @@ MENTS_TYPE = T.ArrayType(
             T.StructField("start", T.IntegerType()),
             T.StructField("end", T.IntegerType()),
             T.StructField("label", T.StringType()),
+        ]
+    )
+)
+
+TOKENS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("start", T.IntegerType()),
+            T.StructField("end", T.IntegerType()),
+            T.StructField("lemma", T.StringType()),
         ]
     )
 )
@@ -59,42 +81,49 @@ def words_column(text: Column = None) -> Column:
     return F.split(text if text is not None else F.col("text"), " ")
 
 
+def _word_offsets(words) -> list[tuple[int, int, str]]:
+    """Char offsets from cumulative token lengths (+1 per joining
+    space) — tacred.py:214-231 semantics, O(n) per row.
+    """
+    out = []
+    pos = 0
+    for word in words:
+        end = pos + len(word)
+        out.append((pos, end, word))
+        pos = end + 1
+    return out
+
+
+@F.pandas_udf(TOKENS_TYPE)
+def _tokens_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for series in batches:
+        yield pd.Series([_word_offsets(words) for words in series])
+
+
+tokens_udf = _tokens_udf.asNondeterministic()
+
+
 def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add ``words`` and offset-bearing ``tokens`` columns — the
-    tokenizer stage (tacred.py:196-231), all JVM-side.
+    tokenizer stage (tacred.py:196-231).
+
+    The offset scan is a vectorized pandas UDF, O(n) per row. (A pure
+    Catalyst ``aggregate``+``array_append`` construction exists but
+    copies the accumulator array per element — O(n²) struct copies per
+    row, ruinous for long documents.)
     """
-    offsets = F.aggregate(
-        F.col("words"),
-        F.struct(
-            F.lit(0).alias("pos"),
-            F.expr(
-                "cast(array() as array<struct<start:int,end:int,lemma:string>>)"
-            ).alias("offs"),
-        ),
-        lambda acc, token: F.struct(
-            (acc["pos"] + F.length(token) + F.lit(1)).alias("pos"),
-            F.array_append(
-                acc["offs"],
-                F.struct(
-                    acc["pos"].cast("int").alias("start"),
-                    (acc["pos"] + F.length(token)).cast("int").alias("end"),
-                    token.alias("lemma"),
-                ),
-            ).alias("offs"),
-        ),
-        lambda acc: acc["offs"],
-    )
     return df.withColumn("words", words_column(F.col(text_col))).withColumn(
-        "tokens", offsets
+        "tokens", tokens_udf(F.col("words"))
     )
 
 
 def ner_tags_udf(spark: SparkSession, lexicon: dict[str, str] | None = None):
     """Iterator pandas UDF: array<string> words -> array<string> BIO tags.
 
-    The model argmax decode happens inside ``predict_tags`` — one
-    vectorized call per Arrow batch (reference batching:
-    ``transformers_annotator.py:60-63,93-108``).
+    Debug/parity path — the production pipeline uses ``ner_ments_udf``
+    which decodes spans in the same Python stage. The model argmax decode
+    happens inside ``predict_tags`` — one vectorized call per Arrow batch
+    (reference batching: ``transformers_annotator.py:60-63,93-108``).
     """
     broadcast = spark.sparkContext.broadcast(
         StubNerModel(lexicon).lexicon if lexicon is None else lexicon
@@ -108,13 +137,14 @@ def ner_tags_udf(spark: SparkSession, lexicon: dict[str, str] | None = None):
             token_lists = [list(words) for words in series]
             yield pd.Series(model.predict_tags(token_lists))
 
-    return tag
+    return tag.asNondeterministic()
 
 
 @F.pandas_udf(MENTS_TYPE)
 def bio_to_mentions(tag_series: pd.Series) -> pd.Series:
     """BIO tags -> mention spans, end exclusive, sorted by start —
     allennlp-exact semantics (utils.py:128-167) via the shared codec.
+    Debug/parity path; see ``ner_ments_udf``.
     """
     out = []
     for tags in tag_series:
@@ -125,17 +155,63 @@ def bio_to_mentions(tag_series: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def ner_ments_udf(spark: SparkSession, lexicon: dict[str, str] | None = None):
+    """Fused iterator pandas UDF: array<string> words -> mention spans.
+
+    One Python stage for model forward (argmax decode inside
+    ``predict_tags``, reference ``transformers_token_clf.py:29-40``) AND
+    BIO -> span decode (``utils.py:128-167`` semantics via the shared
+    codec) — the reference's annotator does both in one pass too
+    (``transformers_token_clf.py:29-40``), so a second Arrow hop would be
+    pure engine overhead.
+    """
+    broadcast = spark.sparkContext.broadcast(
+        StubNerModel(lexicon).lexicon if lexicon is None else lexicon
+    )
+    cache_key = uuid.uuid4().hex
+
+    @F.pandas_udf(MENTS_TYPE)
+    def ments(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model = _executor_model(cache_key, broadcast)
+        for series in batches:
+            token_lists = [list(words) for words in series]
+            tag_lists = model.predict_tags(token_lists)
+            yield pd.Series(
+                [
+                    [
+                        (span["start"], span["end"], span["label"])
+                        for span in spans_to_exclusive_sorted(
+                            bio_tags_to_spans(tags)
+                        )
+                    ]
+                    for tags in tag_lists
+                ]
+            )
+
+    return ments.asNondeterministic()
+
+
 def annotate_mentions(
     spark: SparkSession,
     transcripts: DataFrame,
     lexicon: dict[str, str] | None = None,
+    keep_bio: bool = False,
 ) -> DataFrame:
-    """Transcript turns -> turns + words + tokens + bio + ments.
+    """Transcript turns -> turns + words + ments.
 
     One narrow stage: no shuffle is introduced; rows stay wherever the
-    scan/repartition put them (conv_id clustering preserved).
+    scan/repartition put them (conv_id clustering preserved). ``tokens``
+    (char offsets) is NOT added here — mentions are token-index
+    intervals, so downstream linking/RC never reads char offsets; use
+    ``with_tokens`` where they are needed (kg_tokenize).
+
+    ``keep_bio=True`` runs the two-stage debug path and surfaces the
+    ``bio`` tag column (second Arrow round-trip — slow, test-only).
     """
-    tagger = ner_tags_udf(spark, lexicon)
-    df = with_tokens(transcripts)
-    df = df.withColumn("bio", tagger(F.col("words")))
-    return df.withColumn("ments", bio_to_mentions(F.col("bio")))
+    df = transcripts.withColumn("words", words_column())
+    if keep_bio:
+        tagger = ner_tags_udf(spark, lexicon)
+        df = df.withColumn("bio", tagger(F.col("words")))
+        return df.withColumn("ments", bio_to_mentions(F.col("bio")))
+    fused = ner_ments_udf(spark, lexicon)
+    return df.withColumn("ments", fused(F.col("words")))

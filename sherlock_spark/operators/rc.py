@@ -453,12 +453,26 @@ def extract_triples(
     )
 
     if native:
-        # Fused pair construction: every per-pair field (texts, types,
-        # marking flags) is computed INSIDE the per-turn pair array, so
-        # the explode emits small self-contained structs. Exploding with
-        # wide carried columns (words/ments copied into every pair row)
-        # is an allocation bomb at scale — ~1 KB x pairs — that turns GC
-        # into a serialized resource; this keeps it ~100 B x pairs.
+        # Pair construction in two small steps:
+        #
+        # 1. Per turn, compute the capped mention slice and the
+        #    per-mention surface texts ONCE (O(m) word slices), then
+        #    explode an array of tiny (h, t) index structs.
+        # 2. Per exploded pair row, derive all fields (texts, types,
+        #    marking flags) with O(1) element_at lookups into the
+        #    carried per-turn arrays.
+        #
+        # Two designs were measured and rejected at sf0.1/local[32]:
+        # computing pair texts inside the pair array slots rebuilds
+        # concat_ws(slice(words, ...)) per slot — O(m²) string work per
+        # turn; and building full 8-field pair structs inside the array
+        # expands the Generate expression to max_mentions² slots × ~40
+        # expression nodes, a CodegenFallback tree so large that a fresh
+        # JVM spends ~90-130 s just warming it (interpreted eval + JIT).
+        # Index-only explode keeps the Generate expression O(1)-sized
+        # and the per-row projection whole-stage-codegen-friendly. The
+        # carried arrays are small (≤ max_mentions entries, pruned of
+        # ``words``), so the explode stays ~100 B x pairs.
         turns = annotated.select("conv_id", "turn_idx", "words", "ments")
         if max_length is not None:
             prefix_udf = piece_prefix_udf(spark, additional_tokens)
@@ -469,57 +483,91 @@ def extract_triples(
 
         n_ments = F.size("ments")
         capped = F.least(n_ments, F.lit(max_mentions))
-        indices = F.sequence(F.lit(0), capped - 1)
-        n_words = F.size("words")
-
-        def ment_text(ment):
-            return F.concat_ws(
+        capped_ments = F.slice(F.col("ments"), F.lit(1), capped)
+        ment_texts = F.transform(
+            capped_ments,
+            lambda ment: F.concat_ws(
                 " ",
-                F.slice(F.col("words"), ment["start"] + 1, ment["end"] - ment["start"]),
-            )
-
-        def pair_struct(h_idx, t_idx):
-            head = F.element_at(F.col("ments"), h_idx + 1)
-            tail = F.element_at(F.col("ments"), t_idx + 1)
-            if max_length is not None:
-                cutoff, truncated = native_marking_flags(
-                    entity_handling,
-                    max_length,
-                    head,
-                    tail,
-                    mask_map,
-                    n=n_words,
-                    prefix=F.col("piece_prefix"),
-                )
-            else:
-                cutoff, truncated = F.lit(False), F.lit(False)
-            return F.struct(
-                h_idx.alias("head_idx"),
-                t_idx.alias("tail_idx"),
-                ment_text(head).alias("subj_text"),
-                head["label"].alias("subj_type"),
-                ment_text(tail).alias("obj_text"),
-                tail["label"].alias("obj_type"),
-                cutoff.alias("cutoff"),
-                truncated.alias("truncated"),
-            )
-
-        pair_array = F.filter(
-            F.flatten(
-                F.transform(
-                    indices,
-                    lambda h: F.transform(indices, lambda t: pair_struct(h, t)),
-                )
+                F.slice(
+                    F.col("words"), ment["start"] + 1, ment["end"] - ment["start"]
+                ),
             ),
-            lambda pair: (pair["head_idx"] != pair["tail_idx"])
-            & ~pair["cutoff"],
         )
 
-        pairs = turns.select(
+        turns = turns.select(
             "conv_id",
             "turn_idx",
-            F.explode(F.when(n_ments >= 2, pair_array)).alias("pair"),
-        ).select("conv_id", "turn_idx", "pair.*")
+            # overflow is counted, never silently dropped (metrics sink
+            # contract) — same flag the enumerate_pairs path carries
+            (n_ments > F.lit(max_mentions)).alias("ments_overflow"),
+            capped_ments.alias("ments"),
+            ment_texts.alias("ment_texts"),
+            *(
+                ["piece_prefix", F.size("words").alias("n_words")]
+                if max_length is not None
+                else []
+            ),
+        )
+
+        m = F.size("ments")  # already capped
+        idx = F.sequence(F.lit(0), m - 1)
+        idx_pairs = F.filter(
+            F.flatten(
+                F.transform(
+                    idx,
+                    lambda h: F.transform(
+                        idx, lambda t: F.struct(h.alias("h"), t.alias("t"))
+                    ),
+                )
+            ),
+            lambda pair: pair["h"] != pair["t"],
+        )
+        exploded = turns.withColumn(
+            "pair", F.explode(F.when(m >= 2, idx_pairs))
+        )
+
+        head = F.element_at(F.col("ments"), F.col("pair.h") + 1)
+        tail = F.element_at(F.col("ments"), F.col("pair.t") + 1)
+        if max_length is not None:
+            cutoff, truncated = native_marking_flags(
+                entity_handling,
+                max_length,
+                head,
+                tail,
+                mask_map,
+                n=F.col("n_words"),
+                prefix=F.col("piece_prefix"),
+            )
+        else:
+            cutoff, truncated = F.lit(False), F.lit(False)
+
+        pairs = exploded.select(
+            "conv_id",
+            "turn_idx",
+            "ments_overflow",
+            F.col("pair.h").alias("head_idx"),
+            F.col("pair.t").alias("tail_idx"),
+            F.element_at("ment_texts", F.col("pair.h") + 1).alias("subj_text"),
+            head["label"].alias("subj_type"),
+            F.element_at("ment_texts", F.col("pair.t") + 1).alias("obj_text"),
+            tail["label"].alias("obj_type"),
+            cutoff.alias("cutoff"),
+            truncated.alias("truncated"),
+        ).filter(~F.col("cutoff"))
+
+        # Exchange between pair construction and model inference.
+        # Two reasons, both measured:
+        # (1) chaining two ArrowEvalPython nodes in one task pipeline
+        #     (NER UDF -> explode -> RC UDF) runs 2 Python workers per
+        #     task with lockstep backpressure — 80 s vs 38 s at
+        #     sf0.1/local[32] for the identical plan split in two;
+        # (2) pair counts are quadratic in per-turn mention count, so
+        #     turn-partitioned pair rows are skewed; a round-robin
+        #     rebalance makes the (expensive, per-pair) model stage
+        #     uniformly loaded. With a real transformer the forward
+        #     dominates the ~100 B/pair shuffle by orders of magnitude.
+        n_parts = spark.sparkContext.defaultParallelism
+        pairs = pairs.repartition(n_parts)
 
         model = rc_model_udf(spark, labels, rule_map, add_logits)
         classified = pairs.withColumn(
@@ -544,6 +592,7 @@ def extract_triples(
             F.col("rc.label").alias("pred"),
             "obj_text",
             "obj_type",
+            "ments_overflow",
             *([F.col("rc.logits").alias("logits")] if add_logits else []),
         )
 
@@ -586,5 +635,6 @@ def extract_triples(
             " ", F.slice(F.col("words"), tail["start"] + 1, tail["end"] - tail["start"])
         ).alias("obj_text"),
         tail["label"].alias("obj_type"),
+        "ments_overflow",
         *([F.col("rc.logits").alias("logits")] if add_logits else []),
     )
