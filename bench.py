@@ -45,11 +45,20 @@ def main() -> None:
     # measured query doesn't pay session spin-up
     spark.range(1000).count()
 
-    def timed(run) -> tuple[float, int]:
-        """min-of-2: the sandbox host is shared and bursty, so a single
-        wall-clock sample can be dominated by external tenants; the min
-        of two runs is the robust throughput estimate.
+    def timed(run, warmup: bool = False) -> tuple[float, int]:
+        """Optional warmup run (discarded), then min-of-2.
+
+        Warmup: a fresh JVM spends tens of seconds on first evaluation
+        of the UDF-heavy plans (C2 JIT of interpreted expression eval,
+        janino compile, Python worker pool spin-up + imports) — that is
+        per-process overhead, not per-query throughput, and it
+        disappears entirely on a long-lived cluster. min-of-2 because
+        the sandbox host is shared and bursty (a single sample can be
+        dominated by external tenants). Reported numbers therefore
+        reproduce by re-running THIS file, steady-state.
         """
+        if warmup:
+            run()
         best = None
         count = 0
         for _ in range(2):
@@ -60,7 +69,10 @@ def main() -> None:
         return best, count
 
     for name in headline:
-        elapsed, count = timed(lambda: QUERIES[name](spark, sf_dir).count())
+        elapsed, count = timed(
+            lambda: QUERIES[name](spark, sf_dir).count(),
+            warmup=name.startswith("kg_"),
+        )
         timings[name] = round(elapsed, 3)
         if name == "kg_triples":
             n_turns = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
