@@ -694,7 +694,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_NGRAM = """
-    WITH nums AS (SELECT unnest(generate_series(1, 1000)) AS i),
+    WITH bounds AS (
+        SELECT max(len(string_split(text, ' '))) AS max_words FROM documents
+    ),
+    nums AS (
+        SELECT unnest(generate_series(1, (SELECT max_words FROM bounds))) AS i
+    ),
     sh AS (
         SELECT DISTINCT doc_id,
                array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ') AS shingle

@@ -55,7 +55,12 @@ def stream_extract_triples(
     production use a processing-time trigger instead.
     """
     stream = read_transcript_stream(spark, input_dir)
-    deduped = stream.withWatermark("ts", watermark).dropDuplicates(
+    # dropDuplicatesWithinWatermark (not plain dropDuplicates): with the
+    # event-time column absent from the dedup keys, plain dropDuplicates
+    # never evicts its state via the watermark and grows unboundedly in
+    # a long-running stream; the WithinWatermark variant expires keys
+    # once they fall behind the watermark.
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["conv_id", "turn_idx"]
     )
     annotated = annotate_mentions(

@@ -106,24 +106,46 @@ def marking_flags(
             events.append((idx, order, mask_pieces))
     events.sort(key=lambda e: (e[0], e[1]))
 
-    def pieces_outside_entities_before(index: int) -> int:
-        """pieces of non-entity words with position < index."""
+    # Coverage must be the UNION of the two spans: the reference loop's
+    # if/elif assigns a token inside both spans to head only, so
+    # subtracting head and tail independently double-counts the overlap.
+    overlap_lo = max(head_start, tail_start)
+    overlap_hi = min(head_end, tail_end)
+
+    def union_covered_before(index: int) -> int:
+        """pieces of entity-covered words with position < index
+        (|head ∪ tail| clipped to [0, index))."""
         covered = 0
         for start, end in ((head_start, head_end), (tail_start, tail_end)):
             lo = min(start, index)
             hi = min(end, index)
             if hi > lo:
                 covered += prefix[hi] - prefix[lo]
-        return prefix[index] - covered
+        lo = min(overlap_lo, index)
+        hi = min(overlap_hi, index)
+        if hi > lo:
+            covered -= prefix[hi] - prefix[lo]
+        return covered
+
+    def pieces_outside_entities_before(index: int) -> int:
+        """pieces of non-entity words with position < index."""
+        return prefix[index] - union_covered_before(index)
 
     total_masked = (
         total_words_pieces
-        - head_pieces
-        - tail_pieces
+        - union_covered_before(n_words)
         + sum(e[2] for e in events)
     )
     if entity_handling == "mask_entity_append_text":
-        appended = 2 + head_pieces + tail_pieces  # sep head sep tail
+        # appended = [SEP] head_words [SEP] tail_words, where the
+        # reference's if/elif puts overlap words in head_tokens only:
+        # tail contributes pieces(tail \ head)
+        overlap_pieces = (
+            prefix[overlap_hi] - prefix[overlap_lo]
+            if overlap_hi > overlap_lo
+            else 0
+        )
+        appended = 2 + head_pieces + (tail_pieces - overlap_pieces)
         last_len = total_masked + appended
         return (
             last_len + n_special_tokens > max_length,

@@ -111,3 +111,30 @@ def test_full_length_matches_slow_tokens():
         # one less -> truncated on both paths
         slow2, fast2, _ = both_paths(tok, words, head, tail, strategy, exact - 1)
         assert slow2 == fast2
+
+
+def test_overlapping_mentions_parity():
+    """Overlapping head/tail spans (possible via the legacy UDF path on
+    TACRED-style data): the reference's if/elif assigns overlap tokens
+    to head only — the closed forms must clip the union once, not
+    subtract each span independently.
+    """
+    rng = random.Random(4242)
+    vocab = ["alpha", "beta-x", "the", "O'Neill", "12.5", "word", "a,b", "end."]
+    tok = make_tokenizer(["[HEAD=T1]", "[TAIL=T2]"])
+    for trial in range(300):
+        n = rng.randint(2, 12)
+        words = [rng.choice(vocab) for _ in range(n)]
+        # arbitrary, potentially overlapping / nested / identical spans
+        h_start = rng.randint(0, n - 1)
+        h_end = rng.randint(h_start + 1, n)
+        t_start = rng.randint(0, n - 1)
+        t_end = rng.randint(t_start + 1, n)
+        head = (h_start, h_end, "T1")
+        tail = (t_start, t_end, "T2")
+        strategy = rng.choice(ENTITY_HANDLING_STRATEGIES)
+        max_length = rng.choice([None, 4, 8, 12, 16, 20, 24, 32, 64])
+        slow, fast, tokens = both_paths(tok, words, head, tail, strategy, max_length)
+        assert slow == fast, (
+            trial, words, head, tail, strategy, max_length, slow, fast, tokens
+        )
