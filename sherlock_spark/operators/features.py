@@ -1,0 +1,254 @@
+"""Distributed NER feature conversion (O10) and the pretrained-model
+seam (from_pretrained loading + SparkFiles weight distribution).
+
+O10: ``ner_features_udf`` converts (words, bio) rows to model-ready
+aligned tensors — first subword carries the real label id, remaining
+subwords get -100, truncation trims label_ids, CLS/padding positions are
+-100 (reference ``token_classification.py:86-146``). One iterator pandas
+UDF; the converter is a per-worker singleton.
+
+Model seam: the stub models are constructed from broadcast dicts today;
+a real deployment loads tokenizer + weights from a directory. That path
+is production code here:
+
+- ``save_pretrained_dir`` writes the reference's converter persistence
+  (K4: ``converter_config.json`` + ``converter_label_vocab.txt``,
+  ``feature_converter.py:162-198``) plus opaque model weights
+  (``weights.npz``) and the NER lexicon.
+- ``distribute_pretrained`` ships the directory to every executor via
+  ``SparkFiles`` (the cluster-equivalent of ``--py-files``/``--files``;
+  weights are NEVER pickled into task closures).
+- ``ner_annotate_from_pretrained`` builds the NER stage from such a
+  directory with an executor-global one-load-per-worker singleton
+  (reference one-time-load analogue ``spacy.py:17,24-55``). Swapping the
+  stub for a HF model changes ONLY ``_load_bundle`` — the distribution,
+  batching, and decode shape stay.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark import SparkFiles
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sherlock_spark.model_stub import StubNerModel
+from sherlock_spark.text.bert_like import BertLikeTokenizer
+from sherlock_spark.text.spans import bio_tags_to_spans, spans_to_exclusive_sorted
+from sherlock_spark.text.token_clf import TokenClassificationConverter
+
+NER_FEATURES_TYPE = T.StructType(
+    [
+        T.StructField("input_ids", T.ArrayType(T.LongType())),
+        T.StructField("attention_mask", T.ArrayType(T.IntegerType())),
+        T.StructField("token_type_ids", T.ArrayType(T.IntegerType())),
+        T.StructField("label_ids", T.ArrayType(T.IntegerType())),
+        T.StructField("truncated", T.BooleanType()),
+    ]
+)
+
+_CONVERTER_CACHE: dict[str, TokenClassificationConverter] = {}
+_BUNDLE_CACHE: dict[str, tuple] = {}
+# per-worker load counter, observable from tests (returned as a column)
+BUNDLE_LOADS = {"count": 0}
+
+
+def ner_features_udf(
+    spark: SparkSession,
+    labels: list[str],
+    max_length: int = 512,
+    additional_tokens: Optional[list[str]] = None,
+):
+    """Iterator pandas UDF: (words array<string>, bio array<string>) ->
+    NER_FEATURES_TYPE struct. ``bio`` may be NULL (all labels "O").
+    """
+    broadcast = spark.sparkContext.broadcast(
+        {
+            "labels": list(labels),
+            "max_length": max_length,
+            "additional_tokens": list(additional_tokens or []),
+        }
+    )
+    cache_key = uuid.uuid4().hex
+
+    def _converter() -> TokenClassificationConverter:
+        converter = _CONVERTER_CACHE.get(cache_key)
+        if converter is None:
+            config = broadcast.value
+            tokenizer = BertLikeTokenizer(do_lower_case=True)
+            tokenizer.add_tokens(config["additional_tokens"])
+            converter = TokenClassificationConverter(
+                tokenizer, config["labels"], max_length=config["max_length"]
+            )
+            _CONVERTER_CACHE[cache_key] = converter
+        return converter
+
+    @F.pandas_udf(NER_FEATURES_TYPE)
+    def convert(
+        batches: Iterator[tuple[pd.Series, pd.Series]]
+    ) -> Iterator[pd.DataFrame]:
+        converter = _converter()
+        for words_s, bio_s in batches:
+            rows = [
+                converter.words_to_features(
+                    list(words), None if bio is None else list(bio)
+                )
+                for words, bio in zip(words_s, bio_s)
+            ]
+            yield pd.DataFrame(rows)
+
+    return convert.asNondeterministic()
+
+
+def with_ner_features(
+    spark: SparkSession,
+    df: DataFrame,
+    labels: list[str],
+    words_col: str = "words",
+    bio_col: str = "bio",
+    max_length: int = 512,
+    additional_tokens: Optional[list[str]] = None,
+) -> DataFrame:
+    """Attach a ``features`` struct column (O10 end-to-end). Narrow —
+    no shuffle; one Python stage."""
+    convert = ner_features_udf(spark, labels, max_length, additional_tokens)
+    bio = F.col(bio_col) if bio_col in df.columns else F.lit(None).cast(
+        "array<string>"
+    )
+    return df.withColumn("features", convert(F.col(words_col), bio))
+
+
+# -- pretrained-model seam -------------------------------------------------
+
+
+def save_pretrained_dir(
+    path: str,
+    ner_lexicon: dict[str, str],
+    ner_labels: list[str],
+    max_length: int = 512,
+    weights: Optional[dict[str, np.ndarray]] = None,
+) -> str:
+    """Write a from_pretrained-loadable model directory:
+    converter_config.json + converter_label_vocab.txt (K4),
+    ner_lexicon.json (the stub's 'weights'), weights.npz (opaque tensor
+    payload standing in for real model weights).
+    """
+    os.makedirs(path, exist_ok=True)
+    tokenizer = BertLikeTokenizer(do_lower_case=True)
+    converter = TokenClassificationConverter(
+        tokenizer, ner_labels, max_length=max_length
+    )
+    converter.save(path)
+    with open(os.path.join(path, "ner_lexicon.json"), "w") as handle:
+        json.dump(ner_lexicon, handle)
+    np.savez(
+        os.path.join(path, "weights.npz"),
+        **(weights if weights is not None else {"placeholder": np.zeros(1)}),
+    )
+    return path
+
+
+def distribute_pretrained(spark: SparkSession, path: str) -> str:
+    """Ship the model directory to executors via SparkFiles; returns the
+    bundle name workers resolve with ``SparkFiles.get``. Idempotent per
+    session (Spark rejects re-adding the same path)."""
+    name = os.path.basename(os.path.normpath(path))
+    try:
+        spark.sparkContext.addFile(path, recursive=True)
+    except Exception:
+        pass  # already shipped under this name
+    return name
+
+
+def _load_bundle(bundle_name: str):
+    """Executor-side one-time load: resolve via SparkFiles, read K4
+    files + lexicon + weights. THE swap point for a real model — replace
+    the StubNerModel construction with e.g. a HF
+    ``AutoModelForTokenClassification.from_pretrained(local_dir)``."""
+    cached = _BUNDLE_CACHE.get(bundle_name)
+    if cached is None:
+        local_dir = SparkFiles.get(bundle_name)
+        if not os.path.isdir(local_dir):
+            # driver-local execution (local mode): the path is the original
+            raise FileNotFoundError(local_dir)
+        tokenizer = BertLikeTokenizer(do_lower_case=True)
+        converter = TokenClassificationConverter.from_pretrained(
+            local_dir, tokenizer
+        )
+        with open(os.path.join(local_dir, "ner_lexicon.json")) as handle:
+            lexicon = json.load(handle)
+        weights = np.load(os.path.join(local_dir, "weights.npz"))
+        # force the mmap'd arrays resident so load cost is paid here, once
+        n_params = int(sum(weights[key].size for key in weights.files))
+        model = StubNerModel(lexicon)
+        BUNDLE_LOADS["count"] += 1
+        cached = (model, converter, n_params)
+        _BUNDLE_CACHE[bundle_name] = cached
+    return cached
+
+
+def ner_annotate_from_pretrained(
+    spark: SparkSession, transcripts: DataFrame, model_dir: str
+) -> DataFrame:
+    """NER stage loading its model from a pretrained directory
+    (SparkFiles-distributed, per-worker singleton). Output matches
+    ``annotate_mentions``: words + ments, plus ``model_loads`` (the
+    worker's cumulative bundle-load count — 1 after warmup regardless of
+    task count, pinned by tests)."""
+    bundle_name = distribute_pretrained(spark, model_dir)
+
+    result_type = T.StructType(
+        [
+            T.StructField(
+                "ments",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("start", T.IntegerType()),
+                            T.StructField("end", T.IntegerType()),
+                            T.StructField("label", T.StringType()),
+                        ]
+                    )
+                ),
+            ),
+            T.StructField("model_loads", T.IntegerType()),
+        ]
+    )
+
+    @F.pandas_udf(result_type)
+    def annotate(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        # resolve through the module at runtime: cloudpickle captures
+        # module-level dict globals BY VALUE into the shipped closure,
+        # so a direct BUNDLE_LOADS reference would read a stale copy
+        # while _load_bundle (pickled by reference) mutates the real one
+        from sherlock_spark.operators import features as _feats
+
+        model, _converter, _n_params = _feats._load_bundle(bundle_name)
+        loads = _feats.BUNDLE_LOADS["count"]
+        for series in batches:
+            token_lists = [list(words) for words in series]
+            tag_lists = model.predict_tags(token_lists)
+            ments = [
+                [
+                    (span["start"], span["end"], span["label"])
+                    for span in spans_to_exclusive_sorted(bio_tags_to_spans(tags))
+                ]
+                for tags in tag_lists
+            ]
+            yield pd.DataFrame(
+                {"ments": ments, "model_loads": [loads] * len(ments)}
+            )
+
+    out = transcripts.withColumn("words", F.split("text", " ")).withColumn(
+        "res", annotate.asNondeterministic()(F.col("words"))
+    )
+    return out.withColumn("ments", F.col("res.ments")).withColumn(
+        "model_loads", F.col("res.model_loads")
+    ).drop("res")
