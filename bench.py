@@ -24,7 +24,6 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from sherlock_spark.session import get_spark
     from sherlock_spark.queries import QUERIES
-    from sherlock_spark.functions.dedup import minhash_dedup_pairs
 
     spark = get_spark("bench", cores=cores)
 
@@ -35,7 +34,9 @@ def main() -> None:
         "rel_region_revenue",
         "rel_events_sessionize",
         "sim_topk_cosine",
+        "sim_lsh_topk",
         "dedup_exact",
+        "dedup_minhash_lsh",
     ]
 
     timings: dict[str, float] = {}
@@ -80,11 +81,6 @@ def main() -> None:
             extras["turns"] = n_turns
             extras["triples_per_sec"] = round(count / elapsed, 1)
             extras["turns_per_sec"] = round(n_turns / elapsed, 1)
-
-    # LSH near-dup (the scale path) timed separately from the registry
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    elapsed, _ = timed(lambda: minhash_dedup_pairs(docs, threshold=0.8).count())
-    timings["dedup_minhash_lsh"] = round(elapsed, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -58,19 +58,40 @@ def word_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.8
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact near-duplicate pairs by word-n-gram Jaccard >= threshold.
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded
     to 4 decimals. Blocking join on shared shingles keeps it exact while
     avoiding the full cross join.
+
+    ``max_shingle_df`` bounds the blocking join's worst case: a shingle
+    appearing in d documents contributes d² join rows, so hot shingles
+    (stopword trigrams) make the join quadratic in corpus size. With the
+    cap, shingles whose document frequency exceeds it are excluded from
+    BLOCKING only (intersection counts drop with them, so reported
+    jaccard is a lower bound and recall is no longer exact — pairs whose
+    every shared shingle is hot are missed). The exact quadratic mode is
+    the oracle-gated default; at 100 TB set a cap or use MinHash-LSH.
     """
     shingles = word_shingles(documents, n).cache()
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
 
-    left = shingles.alias("l")
-    right = shingles.alias("r")
+    blocking = shingles
+    if max_shingle_df is not None:
+        doc_freq = shingles.groupBy("shingle").agg(F.count("*").alias("df"))
+        blocking = (
+            shingles.join(doc_freq, "shingle")
+            .filter(F.col("df") <= max_shingle_df)
+            .select("doc_id", "shingle")
+        )
+
+    left = blocking.alias("l")
+    right = blocking.alias("r")
     inter = (
         left.join(right, F.col("l.shingle") == F.col("r.shingle"))
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
@@ -107,6 +128,29 @@ def ngram_jaccard_pairs(
 _MERSENNE = (1 << 31) - 1
 
 
+def cap_buckets(
+    banded: DataFrame, max_bucket_size: int | None
+) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket_size`` (hot-bucket
+    bound). A bucket holding k near-identical docs emits k² candidate
+    pairs in the self-join — unbounded without a cap. Oversized buckets
+    are removed WHOLE (their members usually co-occur in other, smaller
+    band buckets; for dedup the duplicates inside a mega-bucket are
+    better handled by grouping on the bucket id than by pair explosion).
+    Pass None for the exact (uncapped) mode used by the oracle queries.
+    """
+    if max_bucket_size is None:
+        return banded
+    counts = banded.groupBy("band", "bucket").agg(
+        F.count("*").alias("bucket_size")
+    )
+    return (
+        banded.join(counts, ["band", "bucket"])
+        .filter(F.col("bucket_size") <= max_bucket_size)
+        .select(*banded.columns)
+    )
+
+
 def minhash_signatures(documents: DataFrame, n_hashes: int = 32, shingle_n: int = 3) -> DataFrame:
     """(doc_id, signature array<long>) via affine permutations of
     xxhash64(shingle): h_i = (a_i * h + b_i) mod p. Deterministic seeds.
@@ -133,9 +177,11 @@ def minhash_lsh_candidates(
     n_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >= 1 LSH band bucket.
     rows-per-band r = n_hashes / bands; P(candidate) = 1-(1-J^r)^bands.
+    ``max_bucket_size`` bounds hot-bucket pair blowup (see cap_buckets).
     """
     rows_per_band = n_hashes // bands
     signatures = minhash_signatures(documents, n_hashes, shingle_n)
@@ -158,6 +204,7 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
+    banded = cap_buckets(banded, max_bucket_size)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -180,26 +227,31 @@ def minhash_dedup_pairs(
     n_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard — the scale path for
     near-dup detection (candidate fanout bounded by band buckets, not by
-    shared-shingle frequency).
+    shared-shingle frequency; hot buckets additionally bounded by
+    ``max_bucket_size``).
     """
-    candidates = minhash_lsh_candidates(documents, n_hashes, bands, shingle_n)
+    candidates = minhash_lsh_candidates(
+        documents, n_hashes, bands, shingle_n, max_bucket_size
+    )
     shingles = word_shingles(documents, shingle_n).cache()
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    # exact intersection sizes, but only over LSH candidate pairs
+    # exact intersection sizes, but only over LSH candidate pairs. The
+    # per-pair shingle match is an explicit equi-join key (doc_b AND
+    # shingle) so the planner hashes on it — expressed as a post-join
+    # filter it would rely on Catalyst lifting the predicate into the
+    # join and could degrade to a per-doc_b cross match.
     inter = (
         candidates.join(
             shingles.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
         )
         .join(
-            shingles.select(
-                F.col("doc_id").alias("doc_b"), F.col("shingle").alias("s_b")
-            ),
-            "doc_b",
+            shingles.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
         )
-        .filter(F.col("shingle") == F.col("s_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
@@ -247,8 +299,14 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     return bit_sums.select("doc_id", fingerprint.alias("simhash"))
 
 
-def simhash_candidates(documents: DataFrame, band_bits: int = 16) -> DataFrame:
-    """Near-dup candidates: equal SimHash bands (64/band_bits blocks)."""
+def simhash_candidates(
+    documents: DataFrame,
+    band_bits: int = 16,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup candidates: equal SimHash bands (64/band_bits blocks).
+    ``max_bucket_size`` bounds hot-bucket pair blowup (see cap_buckets).
+    """
     hashes = simhash(documents)
     n_bands = 64 // band_bits
     banded = hashes.select(
@@ -263,6 +321,7 @@ def simhash_candidates(documents: DataFrame, band_bits: int = 16) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
+    banded = cap_buckets(banded, max_bucket_size)
     left = banded.alias("l")
     right = banded.alias("r")
     return (

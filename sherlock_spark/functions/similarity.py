@@ -67,26 +67,26 @@ def cosine_topk(
     )
 
 
-def hyperplane_lsh_candidates(
-    embeddings: DataFrame,
+def plane_component(plane: int, component: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    md5 of "plane:component" — reproducible on any engine (the DuckDB
+    oracle recomputes the identical value from the hex digest)."""
+    import hashlib
+
+    digest = hashlib.md5(f"{plane}:{component}".encode()).digest()
+    return (int.from_bytes(digest[:4], "big") / 2**31) - 1.0
+
+
+def hyperplane_buckets(
+    df: DataFrame,
     n_planes: int = 16,
     bands: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Random-hyperplane LSH bucketing: sign pattern over ``n_planes``
-    deterministic pseudo-random hyperplanes, split into bands; candidate
-    pairs share a band bucket. Planes are derived from xxhash64 of
-    (plane, dim) — reproducible without RNG state.
-    """
-    # deterministic hyperplanes as literal arrays
-    import hashlib
-
-    def plane_component(plane: int, component: int) -> float:
-        digest = hashlib.md5(f"{plane}:{component}".encode()).digest()
-        return (int.from_bytes(digest[:4], "big") / 2**31) - 1.0
-
+    """(id, band, bucket): sign pattern over ``n_planes`` deterministic
+    hyperplanes, split into ``bands`` bucket strings."""
     planes = [
         F.array(*[F.lit(plane_component(p, c)) for c in range(dim)])
         for p in range(n_planes)
@@ -102,9 +102,29 @@ def hyperplane_lsh_candidates(
         )
         for band in range(bands)
     ]
-    banded = embeddings.select(
+    return df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.array(*buckets)).alias("band", "bucket"),
+    )
+
+
+def hyperplane_lsh_candidates(
+    embeddings: DataFrame,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate pairs sharing a band bucket. ``max_bucket_size`` drops
+    oversized buckets whole (hot-bucket pair-blowup bound — see
+    functions.dedup.cap_buckets)."""
+    from sherlock_spark.functions.dedup import cap_buckets
+
+    banded = cap_buckets(
+        hyperplane_buckets(embeddings, n_planes, bands, dim, id_col, vec_col),
+        max_bucket_size,
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -117,4 +137,71 @@ def hyperplane_lsh_candidates(
         )
         .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
         .distinct()
+    )
+
+
+def lsh_topk_cosine(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """End-to-end approximate top-k: LSH band-bucket candidates ->
+    exact cosine scoring -> top-k per query (ties by neighbor_id).
+
+    The 100-TB shape: the corpus is bucketed once (one shuffle on the
+    bucket key), each query probes only its own buckets — work scales
+    with bucket occupancy instead of corpus size. Recall < 1 by design
+    (a neighbor sharing no band bucket is invisible); raise bands or
+    planes-per-band to trade cost for recall; ``cosine_topk`` is the
+    exact baseline.
+    """
+    from sherlock_spark.functions.dedup import cap_buckets
+
+    corpus_b = cap_buckets(
+        hyperplane_buckets(embeddings, n_planes, bands, dim, id_col, vec_col),
+        max_bucket_size,
+    )
+    query_b = hyperplane_buckets(
+        queries, n_planes, bands, dim, id_col, vec_col
+    ).select(
+        F.col("doc_id").alias("query_id"), "band", "bucket"
+    )
+    candidates = (
+        query_b.join(corpus_b, ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .select("query_id", F.col("doc_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qry = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    cand = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cand_vec")
+    )
+    scored = (
+        candidates.join(qry, "query_id")
+        .join(cand, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("query_vec"), F.col("cand_vec"))
+                / (_norm(F.col("query_vec")) * _norm(F.col("cand_vec"))),
+                4,
+            ).alias("cos"),
+        )
+    )
+    window = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(window))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos")
     )

@@ -22,9 +22,20 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sherlock_spark.functions.dedup import dedup_exact, ngram_jaccard_pairs
-from sherlock_spark.functions.similarity import cosine_topk
-from sherlock_spark.functions.textstats import fingerprint, token_count
+from sherlock_spark.functions.dedup import (
+    dedup_exact,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+)
+from sherlock_spark.functions.similarity import cosine_topk, lsh_topk_cosine
+from sherlock_spark.functions.textstats import (
+    LANG_STOPWORDS,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+    with_text_stats,
+)
 from sherlock_spark.model_stub import (
     DEFAULT_NER_LEXICON,
     DEFAULT_RC_LABELS,
@@ -783,6 +794,194 @@ SQL_SIM_TOPK = """
 """
 
 
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup (the 100-TB scale path): band-bucket
+    candidates verified by exact Jaccard. The exact-verify step makes
+    the OUTPUT deterministic given the candidate set; with 16 bands of
+    2 rows the candidate probability at J=0.8 is 1-(1-0.8^2)^16 ≈ 0.9997
+    and recall on this corpus is exactly 1.0 (pinned by the oracle:
+    the result equals the exact n-gram-Jaccard pairs).
+    """
+    return minhash_dedup_pairs(
+        _load(spark, sf_dir, "documents"),
+        threshold=0.8,
+        n_hashes=32,
+        bands=16,
+    )
+
+
+SQL_DEDUP_MINHASH = SQL_DEDUP_NGRAM  # exact-verified output == exact pairs
+
+
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_load(spark, sf_dir, "documents")).select(
+        "doc_id", "pred_lang"
+    )
+
+
+_STOPWORD_VALUES = ", ".join(
+    f"('{lang}', '{word}')"
+    for lang, words in sorted(LANG_STOPWORDS.items())
+    for word in words
+)
+
+SQL_TEXT_LANGUAGE_ID = f"""
+    WITH stop(lang, word) AS (VALUES {_STOPWORD_VALUES}),
+    w AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split(lower(text), ' '))) AS word
+        FROM documents
+    ),
+    hits AS (
+        SELECT w.doc_id, s.lang, count(*) AS n
+        FROM w JOIN stop s ON w.word = s.word
+        GROUP BY w.doc_id, s.lang
+    ),
+    best AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY n DESC, lang ASC) AS rn
+        FROM hits WHERE n > 0
+    )
+    SELECT d.doc_id, COALESCE(b.lang, 'und') AS pred_lang
+    FROM documents d
+    LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = quality_score(with_text_stats(_load(spark, sf_dir, "documents")))
+    return stats.select(
+        "doc_id",
+        F.col("n_chars").cast("long"),
+        F.col("n_words").cast("long"),
+        F.col("n_tokens").cast("long"),
+        "avg_word_len",
+        "stopword_ratio",
+        "distinct_ratio",
+        "quality",
+    )
+
+
+_EN_STOP_LIST = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+SQL_TEXT_QUALITY = rf"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    agg AS (
+        SELECT doc_id,
+               count(*) AS n_words,
+               SUM(length(word)) AS sum_len,
+               SUM(CASE WHEN lower(word) IN ({_EN_STOP_LIST}) THEN 1 ELSE 0 END) AS n_stop,
+               count(DISTINCT word) AS n_distinct
+        FROM w GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT d.doc_id,
+               CAST(length(d.text) AS BIGINT) AS n_chars,
+               CAST(a.n_words AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(d.text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens,
+               round(CAST(a.sum_len AS DOUBLE) / a.n_words, 4) AS avg_word_len,
+               round(CAST(a.n_stop AS DOUBLE) / a.n_words, 4) AS stopword_ratio,
+               round(CAST(a.n_distinct AS DOUBLE) / a.n_words, 4) AS distinct_ratio
+        FROM documents d JOIN agg a ON d.doc_id = a.doc_id
+    )
+    SELECT *,
+           round((least(n_words / 100.0, 1.0) + distinct_ratio
+                  + (1.0 - abs(stopword_ratio - 0.3))) / 3.0, 4) AS quality
+    FROM stats
+"""
+
+
+# sim_lsh_topk: end-to-end LSH ANN. The DuckDB oracle recomputes the
+# identical deterministic hyperplanes from md5 hex (8 hex chars ->
+# int via per-char strpos arithmetic — exact in doubles), reproduces
+# the band buckets, candidate probe, exact cosine, and top-k.
+_SIM_LSH_PLANES = 16
+_SIM_LSH_BANDS = 4
+_SIM_LSH_PER_BAND = _SIM_LSH_PLANES // _SIM_LSH_BANDS
+_SIM_DIM = 64
+
+
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embeddings = _load(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") < 8)
+    return lsh_topk_cosine(
+        embeddings,
+        queries,
+        k=5,
+        n_planes=_SIM_LSH_PLANES,
+        bands=_SIM_LSH_BANDS,
+        dim=_SIM_DIM,
+    ).select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        "cos",
+    )
+
+
+SQL_SIM_LSH_TOPK = f"""
+    WITH planes AS (
+        SELECT p.p AS plane, c.c AS comp,
+               (SUM((strpos('0123456789abcdef',
+                            substring(md5(p.p || ':' || c.c), i.i, 1)) - 1)
+                    * power(16, 8 - i.i)) / 2147483648.0) - 1.0 AS val
+        FROM (SELECT unnest(generate_series(0, {_SIM_LSH_PLANES - 1})) AS p) p,
+             (SELECT unnest(generate_series(0, {_SIM_DIM - 1})) AS c) c,
+             (SELECT unnest(generate_series(1, 8)) AS i) i
+        GROUP BY p.p, c.c
+    ),
+    comps AS (
+        SELECT vec_id, unnest(embedding) AS ev,
+               generate_subscripts(embedding, 1) - 1 AS comp
+        FROM embeddings
+    ),
+    dots AS (
+        SELECT c.vec_id, pl.plane,
+               SUM(CAST(c.ev AS DOUBLE) * pl.val) AS dot
+        FROM comps c JOIN planes pl ON c.comp = pl.comp
+        GROUP BY c.vec_id, pl.plane
+    ),
+    buckets AS (
+        SELECT vec_id, plane // {_SIM_LSH_PER_BAND} AS band,
+               string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END,
+                          '' ORDER BY plane) AS bucket
+        FROM dots GROUP BY vec_id, plane // {_SIM_LSH_PER_BAND}
+    ),
+    cand AS (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM buckets q JOIN buckets b
+          ON q.band = b.band AND q.bucket = b.bucket
+        WHERE q.vec_id < 8 AND q.vec_id <> b.vec_id
+        GROUP BY 1, 2
+    ),
+    u AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               unnest(e1.embedding) AS a, unnest(e2.embedding) AS b
+        FROM cand
+        JOIN embeddings e1 ON e1.vec_id = cand.query_id
+        JOIN embeddings e2 ON e2.vec_id = cand.neighbor_id
+    ),
+    s AS (
+        SELECT query_id, neighbor_id,
+               round(SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))
+                     / (sqrt(SUM(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)))
+                        * sqrt(SUM(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)))), 4) AS cos
+        FROM u GROUP BY query_id, neighbor_id
+    ),
+    r AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rn
+        FROM s
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id, cos
+    FROM r WHERE rn <= 5
+"""
+
+
 # -- registry -----------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -807,9 +1006,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats": q_corpus_stats,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "text_token_count": q_text_token_count,
     "text_fingerprint": q_text_fingerprint,
+    "text_language_id": q_text_language_id,
+    "text_quality": q_text_quality,
     "sim_topk_cosine": q_sim_topk_cosine,
+    "sim_lsh_topk": q_sim_lsh_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -834,7 +1037,11 @@ ORACLES: dict[str, str] = {
     "corpus_stats": SQL_CORPUS_STATS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "text_language_id": SQL_TEXT_LANGUAGE_ID,
+    "text_quality": SQL_TEXT_QUALITY,
     "sim_topk_cosine": SQL_SIM_TOPK,
+    "sim_lsh_topk": SQL_SIM_LSH_TOPK,
 }
