@@ -58,18 +58,26 @@ def run():
         entity_handling="mark_entity", max_length=None, max_mentions=16,
     )
 
-# one uncounted warmup run (spins Python workers, fills caches), then
-# one measured run; min-taking across interleaved subprocess invocations
-# happens in the parent
+# two uncounted warmup runs (JIT/janino warmup spans more than one run
+# at 32 threads; Python worker pool + imports on the first), then
+# min-of-``reps`` measured runs in the same JVM — steady-state per
+# config; min-taking across interleaved subprocess invocations happens
+# in the parent
 run().count()
-t0 = time.time()
-count = run().count()
-dt = time.time() - t0
+run().count()
+best = None
+count = 0
+for _ in range(reps):
+    t0 = time.time()
+    count = run().count()
+    dt = time.time() - t0
+    best = dt if best is None else min(best, dt)
 print(json.dumps({
-    "cores": cores, "seconds": round(dt, 3), "triples": count,
+    "cores": cores, "seconds": round(best, 3), "triples": count,
     "turns": turns,
-    "triples_per_sec": round(count / dt, 1),
-    "turns_per_sec": round(turns / dt, 1),
+    "triples_per_sec": round(count / best, 1),
+    "turns_per_sec": round(turns / best, 1),
+    "load_1m": open("/proc/loadavg").read().split()[0],
 }))
 """
 
@@ -102,9 +110,9 @@ def main() -> None:
     # shared and bursty) hit both configs symmetrically; min per config
     small_runs: list[dict] = []
     large_runs: list[dict] = []
-    for _ in range(args.reps):
-        small_runs.append(run_config(args.small, args.sf_dir, 1, args.replicate))
-        large_runs.append(run_config(args.large, args.sf_dir, 1, args.replicate))
+    for _ in range(2):
+        small_runs.append(run_config(args.small, args.sf_dir, args.reps, args.replicate))
+        large_runs.append(run_config(args.large, args.sf_dir, args.reps, args.replicate))
     small = min(small_runs, key=lambda r: r["seconds"])
     large = min(large_runs, key=lambda r: r["seconds"])
     speedup = small["seconds"] / large["seconds"]
@@ -124,20 +132,23 @@ def main() -> None:
         handle.write(f"""# BENCH — measured throughput and N-vs-4N scaling
 
 Flagship job: full triple extraction (transcript scan -> repartition by
-conv_id -> tokenize -> NER tagging (pandas UDF) -> BIO span decode ->
-pair enumeration (row-local double explode, capped) -> JVM-side marking
-flags -> RC model forward (pandas UDF) -> argmax -> no_relation filter)
-over the transcript table derived from
+conv_id -> fused tokenize+NER+span-decode (one iterator pandas UDF) ->
+per-turn mention texts -> index-pair explode -> round-robin exchange ->
+RC model forward (pandas UDF) -> argmax -> no_relation filter) over the
+transcript table derived from
 `{args.sf_dir}/documents.parquet` replicated x{args.replicate}
 ({small['turns']} turns) so the job is long enough to amortize fixed
 scheduling overheads at the larger core count.
 
 Sandbox proxy for the two-cluster-size criterion (per driver
 instruction): same job, same input, `local[{args.small}]` (N) vs
-`local[{args.large}]` (4N); {args.reps} interleaved warmed runs per
-configuration, min per config (the host is shared with other tenants —
-load average swings 5-18 — so configs are interleaved to sample the
-same noise epochs and the min damps external bursts).
+`local[{args.large}]` (4N); per configuration: 2 interleaved fresh-JVM
+invocations, each doing 2 uncounted warmup runs then min-of-{args.reps}
+measured runs; overall min per config. (The host is shared with other
+tenants — 1-min load has been observed anywhere from 0.2 to 18 — so
+configs are interleaved to sample the same noise epochs, the min damps
+external bursts, and each report records the load it saw:
+N saw load {small.get('load_1m', '?')}, 4N saw load {large.get('load_1m', '?')}.)
 
 | config | wall (s) | triples | triples/sec | turns/sec |
 |---|---|---|---|---|
