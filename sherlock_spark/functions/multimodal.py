@@ -85,6 +85,69 @@ def extract_media_features(media: DataFrame, batch_hint: int = 256) -> DataFrame
     return media.mapInPandas(process, schema=FEATURE_SCHEMA)
 
 
+def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Aspect-preserving resize plumbing: computes the real target
+    dimensions per image JVM-side (the decision logic a resize stage
+    needs); the pixel transform itself is the stubbed decode step. Rows
+    without known dimensions pass through unplanned (target = NULL).
+    """
+    from pyspark.sql import functions as F
+
+    w = F.col("width").cast("double")
+    h = F.col("height").cast("double")
+    scale = F.lit(float(max_side)) / F.greatest(w, h)
+    needs = (F.col("width") > max_side) | (F.col("height") > max_side)
+    target_w = F.when(needs, F.round(w * scale)).otherwise(w).cast("int")
+    target_h = F.when(needs, F.round(h * scale)).otherwise(h).cast("int")
+    return media.withColumn(
+        "target_width", F.when(w.isNotNull() & h.isNotNull(), target_w)
+    ).withColumn(
+        "target_height", F.when(w.isNotNull() & h.isNotNull(), target_h)
+    )
+
+
+def chunk_audio(
+    media: DataFrame, window_ms: int = 5000, hop_ms: int = 2500
+) -> DataFrame:
+    """Audio windowing plumbing: one row per (overlapping) analysis
+    window — the batch shape a real torchaudio featurizer consumes."""
+    from pyspark.sql import functions as F
+
+    audio = media.filter(F.col("kind") == "audio")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)
+        ),
+        F.lit(hop_ms),
+    )
+    return audio.select(
+        "media_id",
+        F.explode(starts).alias("chunk_start_ms"),
+        F.coalesce(F.col("duration_ms"), F.lit(0)).alias("_dur"),
+    ).select(
+        "media_id",
+        "chunk_start_ms",
+        F.least(
+            F.col("chunk_start_ms") + window_ms, F.col("_dur")
+        ).alias("chunk_end_ms"),
+    )
+
+
+def media_similarity_topk(media: DataFrame, k: int = 5) -> DataFrame:
+    """Embedding-similarity over media features end-to-end: decode ->
+    feature vector -> exact cosine top-k (swap in lsh_topk_cosine at
+    corpus scale). Near-duplicate media surface as cos ≈ 1 pairs."""
+    from sherlock_spark.functions.similarity import cosine_topk
+
+    features = extract_media_features(media).select(
+        "media_id", "feature"
+    )
+    return cosine_topk(
+        features, features, k=k, id_col="media_id", vec_col="feature"
+    )
+
+
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video rows: one output row per
     sampled timestamp (real decoder would attach the frame payload).

@@ -8,14 +8,17 @@ tokenization + cutoff detection), model decode
 the guid join-back ``transformers_binary_rc.py:59-69`` — which is a
 no-op here because pairs never leave their source row's partition.
 
-Spark shape: pair enumeration is a row-local double ``transform`` +
-``explode`` (no shuffle, quadratic-per-turn blowup bounded by
-``max_mentions`` with the overflow *counted*, never silently dropped —
-SURVEY.md §4). Feature-conversion bookkeeping (entity-cutoff and
-truncation flags) is pure prefix-sum arithmetic over per-turn subword
-piece counts (marking_fast.py closed forms) and therefore runs
-JVM-side as column expressions — the per-pair Arrow transfer carries
-only four scalar strings, not the words/mentions arrays. The model
+Spark shape: pair enumeration explodes tiny row-local (h, t) index
+structs (quadratic-per-turn blowup bounded by ``max_mentions`` with the
+overflow *counted*, never silently dropped — SURVEY.md §4); per-pair
+fields are O(1) lookups into once-per-turn ``ments``/``ment_texts``
+arrays. Feature-conversion bookkeeping (entity-cutoff and truncation
+flags) is pure prefix-sum arithmetic over per-turn subword piece counts
+(marking_fast.py closed forms) and therefore runs JVM-side as column
+expressions — the per-pair Arrow transfer carries only four scalar
+strings, not the words/mentions arrays. One round-robin exchange sits
+between pair construction and the model stage (rebalances quadratic
+pair skew and keeps one Python stage per task pipeline). The model
 forward is the one iterator pandas UDF (per-worker singleton,
 vectorized per Arrow batch). The legacy full-conversion-in-UDF path is
 kept for the non-default mask strategies and as a parity reference.
@@ -566,7 +569,10 @@ def extract_triples(
         #     rebalance makes the (expensive, per-pair) model stage
         #     uniformly loaded. With a real transformer the forward
         #     dominates the ~100 B/pair shuffle by orders of magnitude.
-        n_parts = spark.sparkContext.defaultParallelism
+        # 4 tasks per core: the model stage is the long pole, and with
+        # one task per core a single straggler (shared-host noise, skewed
+        # Arrow batch) stalls the stage; finer tasks rebalance.
+        n_parts = spark.sparkContext.defaultParallelism * 4
         pairs = pairs.repartition(n_parts)
 
         model = rc_model_udf(spark, labels, rule_map, add_logits)

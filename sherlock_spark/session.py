@@ -61,6 +61,16 @@ def get_spark(
         # *inverts* scaling (measured: 32 tasks 5x slower at 24g than
         # 64g on a 128 GiB box)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "64g"))
+        # Shuffle/spill scratch on tmpfs: in local mode every task shares
+        # ONE machine's disk, so a multi-GB shuffle serializes on it —
+        # an artifact a real cluster doesn't have (each executor writes
+        # to its own node-local SSD). tmpfs emulates per-executor disks
+        # for the single-box proxy; override with SPARK_LOCAL_DIR for
+        # datasets larger than RAM.
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_LOCAL_DIR", "/dev/shm/spark-local"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

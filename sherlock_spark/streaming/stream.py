@@ -85,6 +85,115 @@ def stream_extract_triples(
     return writer.start()
 
 
+CONV_STATE_TYPE = (
+    "n_turns long, n_mentions long, first_ts timestamp, last_ts timestamp"
+)
+CONV_SUMMARY_TYPE = (
+    "conv_id string, n_turns long, n_mentions long, first_ts timestamp,"
+    " last_ts timestamp"
+)
+
+
+def stream_conversation_summaries(
+    spark: SparkSession,
+    input_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    ner_lexicon: Optional[dict[str, str]] = None,
+    max_files_per_trigger: Optional[int] = None,
+):
+    """Custom stateful operator (``applyInPandasWithState``): one state
+    row per conversation accumulating turn/mention counts; a summary row
+    is emitted when the conversation has been quiet for ``gap`` of
+    event time (watermark-driven timeout), after which the state is
+    dropped — bounded state for 10^12 turns because live state is
+    proportional to OPEN conversations only.
+
+    Returns a DataFrame ready for writeStream (append mode).
+    """
+    import pandas as pd  # executor-side too
+
+    gap_seconds = _duration_seconds(gap)
+    lexicon = {
+        k.lower() for k in (
+            DEFAULT_NER_LEXICON if ner_lexicon is None else ner_lexicon
+        )
+    }
+
+    def update(key, pdf_iter, state):
+        from pyspark.sql.streaming.state import GroupState  # noqa: F401
+
+        if state.hasTimedOut:
+            n_turns, n_mentions, first_ts, last_ts = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "n_turns": [n_turns],
+                    "n_mentions": [n_mentions],
+                    "first_ts": [first_ts],
+                    "last_ts": [last_ts],
+                }
+            )
+            return
+        n_turns, n_mentions, first_ts, last_ts = (
+            state.get if state.exists else (0, 0, None, None)
+        )
+        for pdf in pdf_iter:
+            n_turns += len(pdf)
+            # mention count via the broadcastable lexicon — the
+            # summary does not need spans, only magnitudes
+            n_mentions += int(
+                pdf["text"]
+                .str.lower()
+                .str.split(" ")
+                .map(lambda ws: sum(w in lexicon for w in ws))
+                .sum()
+            )
+            batch_min = pdf["ts"].min()
+            batch_max = pdf["ts"].max()
+            first_ts = batch_min if first_ts is None else min(first_ts, batch_min)
+            last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
+        state.update((n_turns, n_mentions, first_ts, last_ts))
+        # Spark requires the timeout to be ahead of the current
+        # watermark; a conversation whose last event already trails the
+        # watermark by more than the gap times out at the next boundary
+        state.setTimeoutTimestamp(
+            max(
+                int(last_ts.timestamp() * 1000) + gap_seconds * 1000,
+                state.getCurrentWatermarkMs() + 1,
+            )
+        )
+        return
+        yield  # pragma: no cover — make the function a generator
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = read_transcript_stream(
+        spark, input_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            CONV_SUMMARY_TYPE,
+            CONV_STATE_TYPE,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _duration_seconds(text: str) -> int:
+    value, unit = text.split()
+    mult = {
+        "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    }[unit]
+    return int(value) * mult
+
+
 def stream_triple_rates(
     spark: SparkSession,
     input_dir: str,

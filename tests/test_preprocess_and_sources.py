@@ -3,7 +3,14 @@ multimodal plumbing, sinks."""
 
 import json
 
-from sherlock_spark.functions.multimodal import extract_media_features, sample_video_frames, MEDIA_SCHEMA
+from sherlock_spark.functions.multimodal import (
+    MEDIA_SCHEMA,
+    chunk_audio,
+    extract_media_features,
+    media_similarity_topk,
+    resize_plan,
+    sample_video_frames,
+)
 from sherlock_spark.operators.preprocess import (
     add_entity_types_from_relation,
     collate_datasets,
@@ -171,6 +178,33 @@ def test_media_features(spark):
     assert [(f.media_id, f.frame_ts_ms) for f in frames] == [
         (3, 0), (3, 1000), (3, 2000), (3, 3000),
     ]
+
+
+def test_media_resize_chunk_similarity(spark):
+    rows = [
+        (1, "image", "image/png", 1024, 768, None, bytearray(b"big")),
+        (2, "image", "image/png", 100, 50, None, bytearray(b"small")),
+        (3, "image", "image/png", None, None, None, bytearray(b"nodims")),
+        (4, "audio", "audio/wav", None, None, 6000, bytearray(b"wav")),
+        (5, "image", "image/png", 8, 8, None, bytearray(b"big")),  # dup of 1
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    planned = {r.media_id: r for r in resize_plan(media, max_side=256).collect()}
+    # aspect-preserving: 1024x768 -> 256x192; small/no-dims untouched
+    assert (planned[1].target_width, planned[1].target_height) == (256, 192)
+    assert (planned[2].target_width, planned[2].target_height) == (100, 50)
+    assert planned[3].target_width is None
+
+    chunks = chunk_audio(media, window_ms=5000, hop_ms=2500).collect()
+    assert [(c.chunk_start_ms, c.chunk_end_ms) for c in chunks] == [
+        (0, 5000), (2500, 6000), (5000, 6000),
+    ]
+
+    # identical payloads (1 and 5) are exact nearest neighbors, cos=1
+    topk = media_similarity_topk(media, k=1).collect()
+    best = {r.query_id: (r.neighbor_id, r.cos) for r in topk}
+    assert best[1] == (5, 1.0) and best[5] == (1, 1.0)
 
 
 # --- brat sink -----------------------------------------------------------

@@ -69,14 +69,21 @@ def main() -> int:
         plan,
     )
 
-    # 3. extraction chain: exactly one exchange (the explicit
-    #    repartition) before the triples land — tokenize/NER/pairs/model
-    #    are all narrow
+    # 3. extraction chain: exactly two exchanges — the explicit conv_id
+    #    repartition after the scan, and the round-robin rebalance
+    #    between pair construction and the model stage (breaks the
+    #    two-Python-workers-per-task pipeline and evens quadratic pair
+    #    skew); everything else is narrow
     plan = plan_of(q_kg_triples(spark, sf_dir))
     n_exchange = len(re.findall(r"Exchange ", plan))
     check(
-        f"kg_triples: single exchange in the extraction chain (got {n_exchange})",
-        n_exchange == 1,
+        f"kg_triples: exactly two exchanges in the extraction chain (got {n_exchange})",
+        n_exchange == 2,
+        plan,
+    )
+    check(
+        "kg_triples: pre-model rebalance is round-robin",
+        "RoundRobinPartitioning" in plan,
         plan,
     )
     check(
@@ -102,9 +109,9 @@ def main() -> int:
     )
     n_arrow = plan.count("ArrowEvalPython")
     check(
-        f"extract(max_length=None): exactly 3 Arrow UDF evals — NER, "
-        f"span decode, model (got {n_arrow})",
-        n_arrow == 3,
+        f"extract(max_length=None): exactly 2 Arrow UDF evals — fused "
+        f"NER+span-decode, model (got {n_arrow})",
+        n_arrow == 2,
         plan,
     )
 
