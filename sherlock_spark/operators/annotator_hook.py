@@ -32,6 +32,7 @@ from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 TOKEN_FIELDS = T.StructType(
@@ -131,6 +132,11 @@ def annotate_with(
         extra.append(T.StructField("annotator_loads", T.IntegerType()))
     out_schema = T.StructType(list(df.schema.fields) + extra)
 
+    process = _make_process(cache_key, factory, options, text_col, with_load_counter)
+    return df.mapInPandas(process, out_schema)
+
+
+def _make_process(cache_key, factory, options, text_col, with_load_counter):
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # resolve the cache through the worker's module — a direct
         # global reference would be a stale by-value cloudpickle copy
@@ -148,4 +154,58 @@ def annotate_with(
                 pdf["annotator_loads"] = loads
             yield pdf
 
-    return df.mapInPandas(process, out_schema)
+    return process
+
+
+def backfill_entity_types(
+    spark: SparkSession,
+    df: DataFrame,
+    factory: Callable,
+    options: dict | None = None,
+) -> DataFrame:
+    """O14 (``utils.py:114-125`` predict_entity_type): fill a missing or
+    incomplete ``type`` column of DFKI-shaped rows by running the
+    pluggable annotator over the (space-joined) tokens and taking the
+    FIRST non-O token entity type inside each entity span; spans with no
+    tagged token keep their existing value (or NULL).
+
+    The annotator sees exactly the example's tokens because the text is
+    their space-join (the whitespace-tokenizer invariant), so token
+    indices line up 1:1.
+    """
+    # the hook emits its own annotated ``tokens`` struct column — move
+    # the example's plain token strings aside to avoid the name clash
+    with_text = df.withColumnRenamed("tokens", "_orig_tokens").withColumn(
+        "_bf_text", F.concat_ws(" ", F.col("_orig_tokens"))
+    )
+    annotated = annotate_with(
+        spark, with_text, factory, options, text_col="_bf_text"
+    )
+
+    def span_type(idx: int):
+        span = F.col("entities")[idx]
+        tagged = F.filter(
+            F.slice(
+                F.col("tokens"),
+                span[0] + 1,
+                span[1] - span[0],
+            ),
+            lambda t: t["ent_type"].isNotNull() & (t["ent_type"] != "O"),
+        )
+        first = F.get(tagged, 0)["ent_type"]  # NULL-safe on empty arrays
+        # strip a BIO prefix when the annotator emits tagged spans
+        clean = F.when(
+            first.rlike("^[BI]-"), F.substring(first, 3, 2147483647)
+        ).otherwise(first)
+        existing = (
+            F.col("type")[idx]
+            if "type" in df.columns
+            else F.lit(None).cast("string")
+        )
+        return F.coalesce(clean, existing)
+
+    return annotated.select(
+        *[c for c in df.columns if c not in ("tokens", "type")],
+        F.col("_orig_tokens").alias("tokens"),
+        F.array(span_type(0), span_type(1)).alias("type"),
+    )

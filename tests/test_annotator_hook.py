@@ -45,3 +45,29 @@ def test_singleton_and_output_shape(spark):
         F.sum(F.col("m") * (F.col("m") - 1))
     ).collect()[0][0]
     assert n_pairs >= 0
+
+
+def test_backfill_entity_types(spark):
+    """O14 (utils.py:114-125): first non-O token tag inside each entity
+    span becomes its type; untagged spans keep the existing value."""
+    from sherlock_spark.operators.annotator_hook import backfill_entity_types
+
+    df = spark.createDataFrame(
+        [
+            ("x1", ["Douglas", "visited", "Paris", "today"],
+             "per:places_of_residence", [[0, 1], [2, 3]], [None, None]),
+            ("x2", ["nothing", "tagged", "here", "now"],
+             "no_relation", [[0, 1], [2, 3]], ["KEEP", None]),
+        ],
+        "id string, tokens array<string>, label string,"
+        " entities array<array<int>>, type array<string>",
+    )
+    lexicon = {"douglas": "PERSON", "paris": "CITY"}
+
+    def factory(**options):
+        return WhitespaceLexiconAnnotator(lexicon)
+
+    out = {r.id: r for r in backfill_entity_types(spark, df, factory).collect()}
+    assert list(out["x1"].type) == ["PERSON", "CITY"]
+    assert list(out["x1"].tokens) == ["Douglas", "visited", "Paris", "today"]
+    assert list(out["x2"].type) == ["KEEP", None]
