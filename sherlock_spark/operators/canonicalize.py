@@ -10,10 +10,20 @@ shallow — diameter is small even at 10^12 turns; iterations are bounded
 and convergence is *measured*, not assumed).
 
 Scale notes: each iteration is one shuffle on the node id; lineage is
-cut with ``localCheckpoint`` every ``checkpoint_every`` iterations so
-plans don't grow unboundedly; a hub alias ("user" linked everywhere)
-creates a giant star — harmless for min-propagation (depth 2), the
-skew-sensitive part is the *join back*, handled by AQE skew join.
+cut with an eager ``localCheckpoint`` EVERY iteration. Anything laxer
+is catastrophic: ``comp_{i+1}`` references ``comp_i`` twice (once in
+the neighbor-min join, once in the update join), so an uncheckpointed
+plan doubles in size per iteration — 3 deferred iterations re-execute
+the base plan 8x and each duplicated join spawns its own
+broadcast-build job (measured: 67 s for a 10-node graph with
+checkpoint-every-3 vs ~4 s with per-iteration checkpoints at
+sf0.1/local[32]). Per-iteration materialization is O(V) rows — the
+same discipline GraphFrames uses. A hub alias ("user" linked
+everywhere) creates a giant star — harmless for min-propagation
+(depth 2); the skew-sensitive part is the *join back*, handled by AQE
+skew join. Demonstrated beyond toy size by
+``tests/test_canonicalize_scale.py`` / ``tools/bench_cc_scale.py``
+(10^6-edge hub graph).
 """
 
 from __future__ import annotations
@@ -25,7 +35,6 @@ from pyspark.sql import functions as F
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 25,
-    checkpoint_every: int = 3,
 ) -> DataFrame:
     """edges(src string, dst string) -> (node string, component string).
 
@@ -42,7 +51,7 @@ def connected_components(
     nodes = sym.select(F.col("src").alias("node")).distinct()
     comp = nodes.withColumn("component", F.col("node"))
 
-    for iteration in range(max_iterations):
+    for _iteration in range(max_iterations):
         neighbor_min = (
             sym.join(comp, sym.src == comp.node)
             .groupBy(F.col("dst").alias("node2"))
@@ -58,27 +67,20 @@ def connected_components(
                 F.coalesce(F.col("neighbor_component"), F.col("component")),
             ).alias("new_component"),
         )
-        # Convergence is checked only on checkpoint iterations — a
-        # blocking count() per iteration doubles the job count for a
-        # loop that converges in O(diameter); the check piggybacks on
-        # the lineage-cut materialization (localCheckpoint stores the
-        # blocks, so the changed-scan is a cheap local read, and no
-        # persist/unpersist bookkeeping can leak cached plans). At most
-        # checkpoint_every - 1 extra no-op iterations run past
-        # convergence; each is one small shuffle on an already-stable
-        # comp.
-        check = (iteration + 1) % checkpoint_every == 0 or (
-            iteration == max_iterations - 1
+        # Eager checkpoint per iteration: cuts the comp-referenced-twice
+        # plan doubling (see module docstring) and stores the blocks, so
+        # the convergence scan below is a cheap local read, not a
+        # recompute. One extra no-op iteration runs past convergence.
+        updated = updated.localCheckpoint(eager=True)
+        changed = (
+            updated.filter(F.col("new_component") != F.col("component"))
+            .limit(1)
+            .count()
         )
-        if check:
-            updated = updated.localCheckpoint(eager=True)
-            changed = updated.filter(
-                F.col("new_component") != F.col("component")
-            ).limit(1).count()
         comp = updated.select(
             "node", F.col("new_component").alias("component")
         )
-        if check and changed == 0:
+        if changed == 0:
             break
     return comp
 

@@ -23,7 +23,6 @@ ArrowEvalPython evaluation per row.
 
 from __future__ import annotations
 
-import uuid
 from typing import Iterator
 
 import pandas as pd
@@ -34,6 +33,7 @@ from pyspark.sql import types as T
 
 from sherlock_spark.model_stub import StubNerModel
 from sherlock_spark.text.spans import bio_tags_to_spans, spans_to_exclusive_sorted
+from sherlock_spark.udfcache import config_hash, memoized_udf
 
 _MODEL_CACHE: dict[str, StubNerModel] = {}
 
@@ -63,8 +63,9 @@ TOKENS_TYPE = T.ArrayType(
 def _executor_model(cache_key: str, broadcast) -> StubNerModel:
     """Lazy per-worker singleton; survives tasks because
     ``spark.python.worker.reuse`` is on (session.py). The key is the
-    broadcast id captured driver-side (the worker-side Broadcast object
-    exposes only ``value``).
+    *content hash* of the lexicon captured driver-side, so the same
+    configuration maps to one model per worker no matter how many UDF
+    instances or sessions reference it.
     """
     model = _MODEL_CACHE.get(cache_key)
     if model is None:
@@ -125,19 +126,22 @@ def ner_tags_udf(spark: SparkSession, lexicon: dict[str, str] | None = None):
     happens inside ``predict_tags`` — one vectorized call per Arrow batch
     (reference batching: ``transformers_annotator.py:60-63,93-108``).
     """
-    broadcast = spark.sparkContext.broadcast(
-        StubNerModel(lexicon).lexicon if lexicon is None else lexicon
-    )
-    cache_key = uuid.uuid4().hex  # one cache slot per UDF instance
+    lex = StubNerModel(lexicon).lexicon if lexicon is None else lexicon
+    cache_key = "ner-tags:" + config_hash(lex)
 
-    @F.pandas_udf(T.ArrayType(T.StringType()))
-    def tag(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        model = _executor_model(cache_key, broadcast)
-        for series in batches:
-            token_lists = [list(words) for words in series]
-            yield pd.Series(model.predict_tags(token_lists))
+    def build():
+        broadcast = spark.sparkContext.broadcast(lex)
 
-    return tag.asNondeterministic()
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def tag(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            model = _executor_model(cache_key, broadcast)
+            for series in batches:
+                token_lists = [list(words) for words in series]
+                yield pd.Series(model.predict_tags(token_lists))
+
+        return tag.asNondeterministic()
+
+    return memoized_udf(spark, cache_key, build)
 
 
 @F.pandas_udf(MENTS_TYPE)
@@ -165,30 +169,33 @@ def ner_ments_udf(spark: SparkSession, lexicon: dict[str, str] | None = None):
     (``transformers_token_clf.py:29-40``), so a second Arrow hop would be
     pure engine overhead.
     """
-    broadcast = spark.sparkContext.broadcast(
-        StubNerModel(lexicon).lexicon if lexicon is None else lexicon
-    )
-    cache_key = uuid.uuid4().hex
+    lex = StubNerModel(lexicon).lexicon if lexicon is None else lexicon
+    cache_key = "ner-ments:" + config_hash(lex)
 
-    @F.pandas_udf(MENTS_TYPE)
-    def ments(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        model = _executor_model(cache_key, broadcast)
-        for series in batches:
-            token_lists = [list(words) for words in series]
-            tag_lists = model.predict_tags(token_lists)
-            yield pd.Series(
-                [
+    def build():
+        broadcast = spark.sparkContext.broadcast(lex)
+
+        @F.pandas_udf(MENTS_TYPE)
+        def ments(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            model = _executor_model(cache_key, broadcast)
+            for series in batches:
+                token_lists = [list(words) for words in series]
+                tag_lists = model.predict_tags(token_lists)
+                yield pd.Series(
                     [
-                        (span["start"], span["end"], span["label"])
-                        for span in spans_to_exclusive_sorted(
-                            bio_tags_to_spans(tags)
-                        )
+                        [
+                            (span["start"], span["end"], span["label"])
+                            for span in spans_to_exclusive_sorted(
+                                bio_tags_to_spans(tags)
+                            )
+                        ]
+                        for tags in tag_lists
                     ]
-                    for tags in tag_lists
-                ]
-            )
+                )
 
-    return ments.asNondeterministic()
+        return ments.asNondeterministic()
+
+    return memoized_udf(spark, cache_key, build)
 
 
 def annotate_mentions(

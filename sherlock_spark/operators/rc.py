@@ -26,7 +26,6 @@ kept for the non-default mask strategies and as a parity reference.
 
 from __future__ import annotations
 
-import uuid
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -38,8 +37,12 @@ from pyspark.sql import types as T
 from sherlock_spark.model_stub import StubRcModel
 from sherlock_spark.text.bert_like import BertLikeTokenizer
 from sherlock_spark.text.marking_fast import marking_flags, piece_prefix_sums
+from sherlock_spark.udfcache import config_hash, memoized_udf
 
-_MODEL_CACHE: dict[int, tuple] = {}
+# worker-side singleton cache keyed by configuration content hash: the
+# same configuration maps to one loaded model per Python worker no
+# matter how many UDF instances or sessions reference it
+_MODEL_CACHE: dict[str, tuple] = {}
 
 RC_RESULT_TYPE = T.StructType(
     [
@@ -118,128 +121,130 @@ def rc_classify_udf(
     vectorized forward, argmax decode. Cutoff pairs get label NULL
     (the reference drops them pre-model, binary_rc.py:202-204).
     """
-    broadcast = spark.sparkContext.broadcast(
-        {
-            "labels": list(labels),
-            "rule_map": rule_map,
-            "additional_tokens": list(additional_tokens or []),
-            "entity_handling": entity_handling,
-            "max_length": max_length,
-            "add_logits": add_logits,
-        }
-    )
+    config = {
+        "labels": list(labels),
+        "rule_map": rule_map,
+        "additional_tokens": list(additional_tokens or []),
+        "entity_handling": entity_handling,
+        "max_length": max_length,
+        "add_logits": add_logits,
+    }
+    cache_key = "rc-classify:" + config_hash(config)
 
-    cache_key = uuid.uuid4().hex  # one cache slot per UDF instance
+    def build():
+        broadcast = spark.sparkContext.broadcast(config)
 
-    @F.pandas_udf(RC_RESULT_TYPE)
-    def classify(
-        batches: Iterator[Tuple[pd.Series, pd.Series, pd.Series, pd.Series]]
-    ) -> Iterator[pd.DataFrame]:
-        model, tokenizer, config = _executor_rc(cache_key, broadcast)
-        handling = config["entity_handling"]
-        max_len = config["max_length"]
-        emit_logits = config["add_logits"]
-        labels_list = model.labels
+        @F.pandas_udf(RC_RESULT_TYPE)
+        def classify(
+            batches: Iterator[Tuple[pd.Series, pd.Series, pd.Series, pd.Series]]
+        ) -> Iterator[pd.DataFrame]:
+            model, tokenizer, config = _executor_rc(cache_key, broadcast)
+            handling = config["entity_handling"]
+            max_len = config["max_length"]
+            emit_logits = config["add_logits"]
+            labels_list = model.labels
 
-        # per-worker caches: word -> subword piece count, NER type ->
-        # mask piece count. These turn the per-pair marking into O(1)
-        # prefix-sum arithmetic (marking_fast.py) — semantics pinned to
-        # the reference path by tests/test_marking_fast.py.
-        piece_count: dict[str, int] = {}
-        mask_pieces: dict[str, tuple[int, int]] = {}
+            # per-worker caches: word -> subword piece count, NER type ->
+            # mask piece count. These turn the per-pair marking into O(1)
+            # prefix-sum arithmetic (marking_fast.py) — semantics pinned to
+            # the reference path by tests/test_marking_fast.py.
+            piece_count: dict[str, int] = {}
+            mask_pieces: dict[str, tuple[int, int]] = {}
 
-        def word_pieces(word: str) -> int:
-            count = piece_count.get(word)
-            if count is None:
-                count = len(tokenizer.tokenize(word))
-                piece_count[word] = count
-            return count
+            def word_pieces(word: str) -> int:
+                count = piece_count.get(word)
+                if count is None:
+                    count = len(tokenizer.tokenize(word))
+                    piece_count[word] = count
+                return count
 
-        def label_mask_pieces(label: str) -> tuple[int, int]:
-            cached_pair = mask_pieces.get(label)
-            if cached_pair is None:
-                cached_pair = (
-                    len(tokenizer.tokenize(f"[HEAD={label}]".lower())),
-                    len(tokenizer.tokenize(f"[TAIL={label}]".lower())),
+            def label_mask_pieces(label: str) -> tuple[int, int]:
+                cached_pair = mask_pieces.get(label)
+                if cached_pair is None:
+                    cached_pair = (
+                        len(tokenizer.tokenize(f"[HEAD={label}]".lower())),
+                        len(tokenizer.tokenize(f"[TAIL={label}]".lower())),
+                    )
+                    mask_pieces[label] = cached_pair
+                return cached_pair
+
+            for words_s, ments_s, head_s, tail_s in batches:
+                n = len(words_s)
+                cutoffs = np.zeros(n, dtype=bool)
+                truncs = np.zeros(n, dtype=bool)
+                pairs: list[tuple[str, str, str, str]] = []
+                live: list[int] = []
+                head_arr = head_s.to_numpy()
+                tail_arr = tail_s.to_numpy()
+                prev_words_id = None
+                prefix: list[int] = [0]
+                for i in range(n):
+                    words = words_s.iloc[i]
+                    ments = ments_s.iloc[i]
+                    head = ments[int(head_arr[i])]
+                    tail = ments[int(tail_arr[i])]
+                    if max_len is None:
+                        cutoff = truncated = False
+                    else:
+                        # rows exploded from one turn arrive adjacent; reuse
+                        # the prefix sums while the words buffer is the same
+                        words_id = id(words)
+                        if words_id != prev_words_id:
+                            prefix = piece_prefix_sums(
+                                [word_pieces(w) for w in words]
+                            )
+                            prev_words_id = words_id
+                        head_mask, _ = label_mask_pieces(head["label"])
+                        _, tail_mask = label_mask_pieces(tail["label"])
+                        cutoff, truncated = marking_flags(
+                            prefix,
+                            len(words),
+                            int(head["start"]),
+                            int(head["end"]),
+                            head_mask,
+                            int(tail["start"]),
+                            int(tail["end"]),
+                            tail_mask,
+                            handling,
+                            max_len,
+                            tokenizer.num_special_tokens_to_add(),
+                        )
+                    cutoffs[i] = cutoff
+                    truncs[i] = truncated
+                    if not cutoff:
+                        pairs.append(
+                            (
+                                head["label"],
+                                tail["label"],
+                                " ".join(words[int(head["start"]) : int(head["end"])]),
+                                " ".join(words[int(tail["start"]) : int(tail["end"])]),
+                            )
+                        )
+                        live.append(i)
+                label_col = [None] * n
+                logits_col = [None] * n
+                if pairs:
+                    logits = model.forward_pairs(pairs)
+                    pred_ids = logits.argmax(axis=1)
+                    for row, i in enumerate(live):
+                        label_col[i] = labels_list[int(pred_ids[row])]
+                        if emit_logits:
+                            logits_col[i] = {
+                                labels_list[j]: float(value)
+                                for j, value in enumerate(logits[row])
+                            }
+                yield pd.DataFrame(
+                    {
+                        "label": label_col,
+                        "cutoff": cutoffs,
+                        "truncated": truncs,
+                        "logits": logits_col,
+                    }
                 )
-                mask_pieces[label] = cached_pair
-            return cached_pair
 
-        for words_s, ments_s, head_s, tail_s in batches:
-            n = len(words_s)
-            cutoffs = np.zeros(n, dtype=bool)
-            truncs = np.zeros(n, dtype=bool)
-            pairs: list[tuple[str, str, str, str]] = []
-            live: list[int] = []
-            head_arr = head_s.to_numpy()
-            tail_arr = tail_s.to_numpy()
-            prev_words_id = None
-            prefix: list[int] = [0]
-            for i in range(n):
-                words = words_s.iloc[i]
-                ments = ments_s.iloc[i]
-                head = ments[int(head_arr[i])]
-                tail = ments[int(tail_arr[i])]
-                if max_len is None:
-                    cutoff = truncated = False
-                else:
-                    # rows exploded from one turn arrive adjacent; reuse
-                    # the prefix sums while the words buffer is the same
-                    words_id = id(words)
-                    if words_id != prev_words_id:
-                        prefix = piece_prefix_sums(
-                            [word_pieces(w) for w in words]
-                        )
-                        prev_words_id = words_id
-                    head_mask, _ = label_mask_pieces(head["label"])
-                    _, tail_mask = label_mask_pieces(tail["label"])
-                    cutoff, truncated = marking_flags(
-                        prefix,
-                        len(words),
-                        int(head["start"]),
-                        int(head["end"]),
-                        head_mask,
-                        int(tail["start"]),
-                        int(tail["end"]),
-                        tail_mask,
-                        handling,
-                        max_len,
-                        tokenizer.num_special_tokens_to_add(),
-                    )
-                cutoffs[i] = cutoff
-                truncs[i] = truncated
-                if not cutoff:
-                    pairs.append(
-                        (
-                            head["label"],
-                            tail["label"],
-                            " ".join(words[int(head["start"]) : int(head["end"])]),
-                            " ".join(words[int(tail["start"]) : int(tail["end"])]),
-                        )
-                    )
-                    live.append(i)
-            label_col = [None] * n
-            logits_col = [None] * n
-            if pairs:
-                logits = model.forward_pairs(pairs)
-                pred_ids = logits.argmax(axis=1)
-                for row, i in enumerate(live):
-                    label_col[i] = labels_list[int(pred_ids[row])]
-                    if emit_logits:
-                        logits_col[i] = {
-                            labels_list[j]: float(value)
-                            for j, value in enumerate(logits[row])
-                        }
-            yield pd.DataFrame(
-                {
-                    "label": label_col,
-                    "cutoff": cutoffs,
-                    "truncated": truncs,
-                    "logits": logits_col,
-                }
-            )
+        return classify.asNondeterministic()
 
-    return classify
+    return memoized_udf(spark, cache_key, build)
 
 
 MODEL_RESULT_TYPE = T.StructType(
@@ -264,47 +269,54 @@ def rc_model_udf(
     small. Decode = argmax over the vocabulary, exactly the reference
     (``transformers_binary_rc.py:42-46``).
     """
-    broadcast = spark.sparkContext.broadcast(
-        {"labels": list(labels), "rule_map": rule_map, "add_logits": add_logits}
-    )
-    cache_key = uuid.uuid4().hex
+    config = {
+        "labels": list(labels),
+        "rule_map": rule_map,
+        "add_logits": add_logits,
+    }
+    cache_key = "rc-model:" + config_hash(config)
 
-    def _model():
-        cached = _MODEL_CACHE.get(cache_key)
-        if cached is None:
-            config = broadcast.value
-            cached = (
-                StubRcModel(config["labels"], config.get("rule_map")),
-                config["add_logits"],
-            )
-            _MODEL_CACHE[cache_key] = cached
-        return cached
+    def build():
+        broadcast = spark.sparkContext.broadcast(config)
 
-    @F.pandas_udf(MODEL_RESULT_TYPE)
-    def forward(
-        batches: Iterator[Tuple[pd.Series, pd.Series, pd.Series, pd.Series]]
-    ) -> Iterator[pd.DataFrame]:
-        model, emit_logits = _model()
-        labels_list = model.labels
-        for st, ot, sx, ox in batches:
-            pairs = list(zip(st, ot, sx, ox))
-            logits = model.forward_pairs(pairs)
-            pred_ids = logits.argmax(axis=1)
-            label_col = [labels_list[int(i)] for i in pred_ids]
-            if emit_logits:
-                logits_col = [
-                    {labels_list[j]: float(v) for j, v in enumerate(row)}
-                    for row in logits
-                ]
-            else:
-                logits_col = [None] * len(label_col)
-            yield pd.DataFrame({"label": label_col, "logits": logits_col})
+        def _model():
+            cached = _MODEL_CACHE.get(cache_key)
+            if cached is None:
+                conf = broadcast.value
+                cached = (
+                    StubRcModel(conf["labels"], conf.get("rule_map")),
+                    conf["add_logits"],
+                )
+                _MODEL_CACHE[cache_key] = cached
+            return cached
 
-    # the forward IS deterministic, but Catalyst duplicates deterministic
-    # UDFs when pushing the no_relation filter through the projection —
-    # two full model evaluations per pair; the standard fix is to opt
-    # out of expression duplication
-    return forward.asNondeterministic()
+        @F.pandas_udf(MODEL_RESULT_TYPE)
+        def forward(
+            batches: Iterator[Tuple[pd.Series, pd.Series, pd.Series, pd.Series]]
+        ) -> Iterator[pd.DataFrame]:
+            model, emit_logits = _model()
+            labels_list = model.labels
+            for st, ot, sx, ox in batches:
+                pairs = list(zip(st, ot, sx, ox))
+                logits = model.forward_pairs(pairs)
+                pred_ids = logits.argmax(axis=1)
+                label_col = [labels_list[int(i)] for i in pred_ids]
+                if emit_logits:
+                    logits_col = [
+                        {labels_list[j]: float(v) for j, v in enumerate(row)}
+                        for row in logits
+                    ]
+                else:
+                    logits_col = [None] * len(label_col)
+                yield pd.DataFrame({"label": label_col, "logits": logits_col})
+
+        # the forward IS deterministic, but Catalyst duplicates
+        # deterministic UDFs when pushing the no_relation filter through
+        # the projection — two full model evaluations per pair; the
+        # standard fix is to opt out of expression duplication
+        return forward.asNondeterministic()
+
+    return memoized_udf(spark, cache_key, build)
 
 
 def piece_prefix_udf(spark: SparkSession, additional_tokens: Optional[list[str]] = None):
@@ -312,38 +324,43 @@ def piece_prefix_udf(spark: SparkSession, additional_tokens: Optional[list[str]]
     (array<int>, length len(words)+1). Runs once per turn, O(words),
     with a per-worker word->count cache.
     """
-    broadcast = spark.sparkContext.broadcast(list(additional_tokens or []))
-    cache_key = uuid.uuid4().hex
+    tokens = list(additional_tokens or [])
+    cache_key = "piece-prefix:" + config_hash(tokens)
 
-    def _tok():
-        cached = _MODEL_CACHE.get(cache_key)
-        if cached is None:
-            tokenizer = BertLikeTokenizer(do_lower_case=True)
-            tokenizer.add_tokens(
-                ["[HEAD_START]", "[HEAD_END]", "[TAIL_START]", "[TAIL_END]"]
-            )
-            tokenizer.add_tokens(broadcast.value)
-            cached = (tokenizer, {})
-            _MODEL_CACHE[cache_key] = cached
-        return cached
+    def build():
+        broadcast = spark.sparkContext.broadcast(tokens)
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def prefix(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        tokenizer, counts = _tok()
-        for series in batches:
-            out = []
-            for words in series:
-                row_counts = []
-                for word in words:
-                    count = counts.get(word)
-                    if count is None:
-                        count = len(tokenizer.tokenize(word))
-                        counts[word] = count
-                    row_counts.append(count)
-                out.append(piece_prefix_sums(row_counts))
-            yield pd.Series(out)
+        def _tok():
+            cached = _MODEL_CACHE.get(cache_key)
+            if cached is None:
+                tokenizer = BertLikeTokenizer(do_lower_case=True)
+                tokenizer.add_tokens(
+                    ["[HEAD_START]", "[HEAD_END]", "[TAIL_START]", "[TAIL_END]"]
+                )
+                tokenizer.add_tokens(broadcast.value)
+                cached = (tokenizer, {})
+                _MODEL_CACHE[cache_key] = cached
+            return cached
 
-    return prefix
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def prefix(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            tokenizer, counts = _tok()
+            for series in batches:
+                out = []
+                for words in series:
+                    row_counts = []
+                    for word in words:
+                        count = counts.get(word)
+                        if count is None:
+                            count = len(tokenizer.tokenize(word))
+                            counts[word] = count
+                        row_counts.append(count)
+                    out.append(piece_prefix_sums(row_counts))
+                yield pd.Series(out)
+
+        return prefix
+
+    return memoized_udf(spark, cache_key, build)
 
 
 def mask_pieces_map(
