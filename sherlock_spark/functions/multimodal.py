@@ -2,10 +2,12 @@
 
 Opaque media live as ``binary`` columns with typed metadata; decode and
 feature extraction run as Arrow-batched ``mapInPandas`` stages. The
-container ships no image/audio codecs, so the actual decode is STUBBED:
-with real libraries available (PIL/torchaudio/etc.) only
-``_decode_image_bytes`` changes — schema, partitioning, UDF signature
-and batch shape are the production code and are tested.
+decode step is pluggable: ``default_image_decoder`` resolves to PIL
+when the library is importable and to the deterministic md5 stub
+otherwise, so a real cluster upgrades in place by installing PIL — the
+schema, partitioning, UDF signature and batch shape are production
+code either way and are tested (the swap point itself is pinned by
+``tests/test_preprocess_and_sources.py``).
 """
 
 from __future__ import annotations
@@ -35,7 +37,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("kind", T.StringType(), False),
         T.StructField("n_bytes", T.IntegerType(), False),
-        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), False),
         T.StructField("content_hash", T.StringType(), False),
     ]
 )
@@ -44,23 +46,62 @@ FEATURE_DIM = 16
 
 
 def _decode_image_bytes(payload: bytes) -> np.ndarray:
-    """STUB decode: real deployments replace this with PIL/libjpeg.
+    """STUB decode (the default when no real decoder is installed).
     Deterministic fake: a 16-dim feature from the payload's md5 bytes,
-    normalized — keeps downstream similarity search exercisable.
-    """
+    L2-normalized, double precision — keeps downstream similarity
+    search exercisable AND SQL-replayable (the driver oracle recomputes
+    it from the md5 hex in DuckDB)."""
     digest = hashlib.md5(payload or b"").digest()
-    vec = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
+    vec = np.frombuffer(digest, dtype=np.uint8).astype(np.float64)
     norm = float(np.linalg.norm(vec)) or 1.0
     return vec / norm
 
 
-def extract_media_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
+def pil_image_decoder(side: int = 4):
+    """Real image decoder factory: PIL if importable, else ImportError.
+    Decodes to grayscale, resizes to ``side``x``side``, flattens and
+    L2-normalizes — same output contract as the stub (1-D float64,
+    unit norm), so the swap is transparent to every downstream stage.
+    """
+    import io
+
+    from PIL import Image  # raises ImportError when PIL is absent
+
+    def decode(payload: bytes) -> np.ndarray:
+        image = Image.open(io.BytesIO(payload)).convert("L").resize((side, side))
+        vec = np.asarray(image, dtype=np.float64).reshape(-1)
+        norm = float(np.linalg.norm(vec)) or 1.0
+        return vec / norm
+
+    return decode
+
+
+def default_image_decoder():
+    """The decoder ``extract_media_features`` uses when none is passed:
+    PIL when the library is importable, the md5 stub otherwise — the
+    in-place upgrade path for a real cluster (no code change, just
+    install PIL). Pass ``decoder=_decode_image_bytes`` explicitly where
+    the stub's SQL-replayable output is the contract (driver oracle).
+    """
+    try:
+        return pil_image_decoder()
+    except ImportError:
+        return _decode_image_bytes
+
+
+def extract_media_features(
+    media: DataFrame, batch_hint: int = 256, decoder=None
+) -> DataFrame:
     """media (MEDIA_SCHEMA) -> per-item feature rows (FEATURE_SCHEMA).
 
     ``mapInPandas``: whole-batch processing so a real decoder can
     vectorize/pin threads per batch; binary payloads never leave the
-    executor as Python objects row-by-row.
+    executor as Python objects row-by-row. ``decoder`` defaults to
+    ``default_image_decoder()`` (PIL when available, stub otherwise);
+    it must map bytes -> 1-D float64 ndarray.
     """
+    if decoder is None:
+        decoder = default_image_decoder()
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -71,7 +112,7 @@ def extract_media_features(media: DataFrame, batch_hint: int = 256) -> DataFrame
                 data = bytes(payload) if payload is not None else b""
                 sizes.append(len(data))
                 hashes.append(hashlib.md5(data).hexdigest())
-                features.append(_decode_image_bytes(data).tolist())
+                features.append(decoder(data).tolist())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -150,6 +150,8 @@ def lsh_topk_cosine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
+    corpus_buckets: DataFrame | None = None,
+    query_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end approximate top-k: LSH band-bucket candidates ->
     exact cosine scoring -> top-k per query (ties by neighbor_id).
@@ -160,16 +162,26 @@ def lsh_topk_cosine(
     (a neighbor sharing no band bucket is invisible); raise bands or
     planes-per-band to trade cost for recall; ``cosine_topk`` is the
     exact baseline.
+
+    ``corpus_buckets``/``query_buckets``: pass a pre-materialized
+    ``hyperplane_buckets`` output (id renamed to doc_id) to skip
+    re-evaluating the plane signatures — the "bucket the corpus ONCE"
+    path. Production keeps this table checkpointed (udfcache.stage /
+    plans.checkpoint) and re-probes it per query batch; the signature
+    cost is then paid once per corpus, not once per query run.
     """
     from sherlock_spark.functions.dedup import cap_buckets
 
-    corpus_b = cap_buckets(
-        hyperplane_buckets(embeddings, n_planes, bands, dim, id_col, vec_col),
-        max_bucket_size,
-    )
-    query_b = hyperplane_buckets(
-        queries, n_planes, bands, dim, id_col, vec_col
-    ).select(
+    if corpus_buckets is None:
+        corpus_buckets = hyperplane_buckets(
+            embeddings, n_planes, bands, dim, id_col, vec_col
+        )
+    corpus_b = cap_buckets(corpus_buckets, max_bucket_size)
+    if query_buckets is None:
+        query_buckets = hyperplane_buckets(
+            queries, n_planes, bands, dim, id_col, vec_col
+        )
+    query_b = query_buckets.select(
         F.col("doc_id").alias("query_id"), "band", "bucket"
     )
     candidates = (

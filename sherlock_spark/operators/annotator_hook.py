@@ -3,7 +3,9 @@
 Reference: ``sherlock/annotators/spacy.py:122-178`` — a batch NLP
 pipeline (tokenize/tag/parse/sentencize + NER) applied per document,
 with a module-level model cache keyed by construction options
-(``spacy.py:17,24-55``) so the expensive load happens once per process.
+(``spacy.py:17,24-55``) so the expensive load happens once per process
+(here the key also folds in the factory's serialized identity, since
+unlike the reference the factory is arbitrary user code).
 
 spaCy itself is not in this container; this module provides the
 *interface* as production code: ``annotate_with`` runs any user-supplied
@@ -27,6 +29,7 @@ A real spaCy deployment plugs in as
 
 from __future__ import annotations
 
+import hashlib
 import json
 from typing import Callable, Iterator
 
@@ -117,9 +120,21 @@ def annotate_with(
     constructed on the worker, not captured in the closure.
     """
     options = dict(options or {})
+    # Key = factory IDENTITY (serialized bytes, so two same-named
+    # closures capturing different state — e.g. different lexicons —
+    # get distinct cache slots) + options. cloudpickle is what ships
+    # the factory to the worker anyway, so its byte stream is exactly
+    # the identity the worker will execute.
+    from pyspark import cloudpickle
+
+    try:
+        factory_id = hashlib.md5(cloudpickle.dumps(factory)).hexdigest()
+    except Exception:
+        factory_id = repr(factory)
     cache_key = (
         f"{getattr(factory, '__module__', '?')}."
         f"{getattr(factory, '__qualname__', repr(factory))}"
+        f":{factory_id}"
         f":{json.dumps(options, sort_keys=True, default=str)}"
     )
 

@@ -35,11 +35,15 @@ from pyspark.sql import functions as F
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """edges(src string, dst string) -> (node string, component string).
 
     Component id = lexicographic min node id in the component.
-    Deterministic; converges in O(graph diameter) iterations.
+    Deterministic; converges in O(graph diameter) iterations. When a
+    ``stats`` dict is passed, ``stats["iterations"]`` records the number
+    of propagation rounds actually run (scale tests pin this to the
+    graph diameter).
     """
     # materialize the edge list once — its lineage may contain the whole
     # upstream extraction pipeline, which must not be recomputed on
@@ -51,7 +55,9 @@ def connected_components(
     nodes = sym.select(F.col("src").alias("node")).distinct()
     comp = nodes.withColumn("component", F.col("node"))
 
+    iterations_run = 0
     for _iteration in range(max_iterations):
+        iterations_run += 1
         neighbor_min = (
             sym.join(comp, sym.src == comp.node)
             .groupBy(F.col("dst").alias("node2"))
@@ -82,6 +88,8 @@ def connected_components(
         )
         if changed == 0:
             break
+    if stats is not None:
+        stats["iterations"] = iterations_run
     return comp
 
 

@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import json
 import os
-import uuid
 from typing import Iterator, Optional
 
 import numpy as np
@@ -43,6 +42,7 @@ from sherlock_spark.model_stub import StubNerModel
 from sherlock_spark.text.bert_like import BertLikeTokenizer
 from sherlock_spark.text.spans import bio_tags_to_spans, spans_to_exclusive_sorted
 from sherlock_spark.text.token_clf import TokenClassificationConverter
+from sherlock_spark.udfcache import config_hash, memoized_udf
 
 NER_FEATURES_TYPE = T.StructType(
     [
@@ -69,42 +69,45 @@ def ner_features_udf(
     """Iterator pandas UDF: (words array<string>, bio array<string>) ->
     NER_FEATURES_TYPE struct. ``bio`` may be NULL (all labels "O").
     """
-    broadcast = spark.sparkContext.broadcast(
-        {
-            "labels": list(labels),
-            "max_length": max_length,
-            "additional_tokens": list(additional_tokens or []),
-        }
-    )
-    cache_key = uuid.uuid4().hex
+    config = {
+        "labels": list(labels),
+        "max_length": max_length,
+        "additional_tokens": list(additional_tokens or []),
+    }
+    cache_key = "ner-features:" + config_hash(config)
 
-    def _converter() -> TokenClassificationConverter:
-        converter = _CONVERTER_CACHE.get(cache_key)
-        if converter is None:
-            config = broadcast.value
-            tokenizer = BertLikeTokenizer(do_lower_case=True)
-            tokenizer.add_tokens(config["additional_tokens"])
-            converter = TokenClassificationConverter(
-                tokenizer, config["labels"], max_length=config["max_length"]
-            )
-            _CONVERTER_CACHE[cache_key] = converter
-        return converter
+    def build():
+        broadcast = spark.sparkContext.broadcast(config)
 
-    @F.pandas_udf(NER_FEATURES_TYPE)
-    def convert(
-        batches: Iterator[tuple[pd.Series, pd.Series]]
-    ) -> Iterator[pd.DataFrame]:
-        converter = _converter()
-        for words_s, bio_s in batches:
-            rows = [
-                converter.words_to_features(
-                    list(words), None if bio is None else list(bio)
+        def _converter() -> TokenClassificationConverter:
+            converter = _CONVERTER_CACHE.get(cache_key)
+            if converter is None:
+                conf = broadcast.value
+                tokenizer = BertLikeTokenizer(do_lower_case=True)
+                tokenizer.add_tokens(conf["additional_tokens"])
+                converter = TokenClassificationConverter(
+                    tokenizer, conf["labels"], max_length=conf["max_length"]
                 )
-                for words, bio in zip(words_s, bio_s)
-            ]
-            yield pd.DataFrame(rows)
+                _CONVERTER_CACHE[cache_key] = converter
+            return converter
 
-    return convert.asNondeterministic()
+        @F.pandas_udf(NER_FEATURES_TYPE)
+        def convert(
+            batches: Iterator[tuple[pd.Series, pd.Series]]
+        ) -> Iterator[pd.DataFrame]:
+            converter = _converter()
+            for words_s, bio_s in batches:
+                rows = [
+                    converter.words_to_features(
+                        list(words), None if bio is None else list(bio)
+                    )
+                    for words, bio in zip(words_s, bio_s)
+                ]
+                yield pd.DataFrame(rows)
+
+        return convert.asNondeterministic()
+
+    return memoized_udf(spark, cache_key, build)
 
 
 def with_ner_features(
@@ -158,12 +161,18 @@ def save_pretrained_dir(
 def distribute_pretrained(spark: SparkSession, path: str) -> str:
     """Ship the model directory to executors via SparkFiles; returns the
     bundle name workers resolve with ``SparkFiles.get``. Idempotent per
-    session (Spark rejects re-adding the same path)."""
+    session (Spark rejects re-adding the same path; only that error is
+    suppressed — a genuinely failed distribution raises here, at the
+    cause, not later inside executor tasks)."""
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"pretrained model dir not found: {path}")
     name = os.path.basename(os.path.normpath(path))
     try:
         spark.sparkContext.addFile(path, recursive=True)
-    except Exception:
-        pass  # already shipped under this name
+    except Exception as exc:
+        message = str(exc)
+        if "already" not in message.lower() and "exists" not in message.lower():
+            raise
     return name
 
 
@@ -252,3 +261,122 @@ def ner_annotate_from_pretrained(
     return out.withColumn("ments", F.col("res.ments")).withColumn(
         "model_loads", F.col("res.model_loads")
     ).drop("res")
+
+
+# -- RC pretrained seam ----------------------------------------------------
+
+
+def save_rc_pretrained_dir(
+    path: str,
+    labels: list[str],
+    rule_map: Optional[dict] = None,
+    max_length: int = 128,
+    weights: Optional[dict[str, np.ndarray]] = None,
+) -> str:
+    """Write a from_pretrained-loadable RC model directory: the K4
+    converter layout (converter_config.json + converter_label_vocab.txt,
+    ``feature_converter.py:162-198`` — the binary-RC converter persists
+    the same two files) plus rc_rules.json (the stub's decision rules)
+    and weights.npz (opaque tensor payload).
+    """
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "converter_config.json"), "w") as handle:
+        json.dump(
+            {
+                "name": "binary_rc",
+                "max_length": max_length,
+                "labels": list(labels),
+            },
+            handle,
+        )
+    with open(os.path.join(path, "converter_label_vocab.txt"), "w") as handle:
+        handle.write("\n".join(labels) + "\n")
+    with open(os.path.join(path, "rc_rules.json"), "w") as handle:
+        json.dump(
+            [[list(key), value] for key, value in (rule_map or {}).items()],
+            handle,
+        )
+    np.savez(
+        os.path.join(path, "weights.npz"),
+        **(weights if weights is not None else {"placeholder": np.zeros(1)}),
+    )
+    return path
+
+
+def _load_rc_bundle(bundle_name: str):
+    """Executor-side one-time load of an RC bundle: labels from the K4
+    vocab file, rules, weights. THE swap point for a real RC model —
+    replace the StubRcModel construction with e.g. HF
+    ``AutoModelForSequenceClassification.from_pretrained(local_dir)``."""
+    from sherlock_spark.model_stub import StubRcModel
+
+    cached = _BUNDLE_CACHE.get(bundle_name)
+    if cached is None:
+        local_dir = SparkFiles.get(bundle_name)
+        if not os.path.isdir(local_dir):
+            raise FileNotFoundError(local_dir)
+        with open(os.path.join(local_dir, "converter_label_vocab.txt")) as handle:
+            labels = [line for line in handle.read().splitlines() if line]
+        with open(os.path.join(local_dir, "rc_rules.json")) as handle:
+            rules = {tuple(key): value for key, value in json.load(handle)}
+        weights = np.load(os.path.join(local_dir, "weights.npz"))
+        n_params = int(sum(weights[key].size for key in weights.files))
+        model = StubRcModel(labels, rules or None)
+        BUNDLE_LOADS["count"] += 1
+        cached = (model, n_params)
+        _BUNDLE_CACHE[bundle_name] = cached
+    return cached
+
+
+def rc_classify_from_pretrained(
+    spark: SparkSession, pairs: DataFrame, model_dir: str
+) -> DataFrame:
+    """RC model stage loading from a pretrained directory — the RC
+    mirror of ``ner_annotate_from_pretrained`` (directory -> SparkFiles
+    -> per-worker singleton). ``pairs`` must carry (subj_type, obj_type,
+    subj_text, obj_text); adds ``pred`` (argmax label,
+    ``transformers_binary_rc.py:42-46``) and ``model_loads`` (the
+    worker's cumulative bundle-load count — 1 after warmup regardless
+    of task count, pinned by tests).
+    """
+    bundle_name = distribute_pretrained(spark, model_dir)
+
+    result_type = T.StructType(
+        [
+            T.StructField("pred", T.StringType()),
+            T.StructField("model_loads", T.IntegerType()),
+        ]
+    )
+
+    @F.pandas_udf(result_type)
+    def forward(
+        batches: Iterator[tuple[pd.Series, pd.Series, pd.Series, pd.Series]]
+    ) -> Iterator[pd.DataFrame]:
+        # resolve through the module at runtime (cloudpickle captures
+        # module-level dict globals by value — see ner path note)
+        from sherlock_spark.operators import features as _feats
+
+        model, _n_params = _feats._load_rc_bundle(bundle_name)
+        loads = _feats.BUNDLE_LOADS["count"]
+        labels_list = model.labels
+        for st, ot, sx, ox in batches:
+            logits = model.forward_pairs(list(zip(st, ot, sx, ox)))
+            preds = [labels_list[int(i)] for i in logits.argmax(axis=1)]
+            yield pd.DataFrame(
+                {"pred": preds, "model_loads": [loads] * len(preds)}
+            )
+
+    out = pairs.withColumn(
+        "res",
+        forward.asNondeterministic()(
+            F.col("subj_type"),
+            F.col("obj_type"),
+            F.col("subj_text"),
+            F.col("obj_text"),
+        ),
+    )
+    return (
+        out.withColumn("pred", F.col("res.pred"))
+        .withColumn("model_loads", F.col("res.model_loads"))
+        .drop("res")
+    )

@@ -17,10 +17,14 @@ Faithfulness notes:
   member of) and its drop-list-first quirk ("work location" appears in
   both the drop list and a later elif — the drop wins) are preserved;
 - entity-type override (``get_entity_types_from_relation``,
-  add_ner_annotation.py:20-210 = O11) uses the condensed
-  ``relation_entity_types`` rule map; labels outside its per:/org:
-  coverage keep their incoming types (documented delta — the reference
-  falls back to the incoming types for unknown relations as well).
+  add_ner_annotation.py:20-210 = O11) uses the 1:1-transcribed
+  ``relation_entity_types`` table including the four
+  incoming-type-conditional branches; labels outside the chain keep
+  their incoming types (the reference's if/elif fall-through);
+- the override default follows each reference converter's call site
+  (``OVERRIDE_DEFAULTS``): off for docred/plass, on elsewhere;
+- plass passes through labels already in RELATION_TYPES before its
+  elif chain (plass_preprocessor.py:15-16).
 
 Input shape: the DFKI-JSONL document frame
 ``(id, tokens, label, entities [[s,e],[s,e]], type [subj,obj],
@@ -33,6 +37,40 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sherlock_spark.operators.preprocess import relation_entity_types
+
+# relation_types.py — the shared label space (active entries only).
+# plass's map checks membership FIRST and passes already-normalized
+# labels through (plass_preprocessor.py:15-16).
+RELATION_TYPES: frozenset[str] = frozenset(
+    [
+        "org:alternate_names", "org:dissolved", "org:founded",
+        "org:founded_by", "org:member_of", "per:member_of", "org:members",
+        "org:number_of_employees/members", "org:parents",
+        "org:political/religious_affiliation", "org:shareholders",
+        "org:subsidiaries", "org:top_members/employees", "org:website",
+        "per:age", "per:alternate_names", "per:cause_of_death",
+        "per:charges", "per:children", "per:date_of_birth",
+        "per:date_of_death", "per:employee_of", "per:origin",
+        "per:other_family", "per:parents", "per:religion",
+        "per:schools_attended", "per:siblings", "per:spouse", "per:title",
+        "no_relation", "org:place_of_headquarters",
+        "per:political_affiliation", "per:place_of_birth",
+        "per:place_of_death", "per:places_of_residence", "per:degree",
+        "loc:capital_of", "event:conflict", "loc:located_in",
+        "per:language", "org:location_of_formation",
+        "per:head_of_gov/state", "per:country_of_citizenship",
+        "per:notable_work", "org:production_company", "per:creator",
+        "per:ethnic_group", "per:producer", "loc:contains_location",
+        "per:author", "per:director", "per:work_location",
+        "loc:unemployment_rate", "loc:country_of_origin", "per:performer",
+        "per:composer", "per:lyrics_by", "per:screenwriter",
+        "org:developer", "loc:twinned_adm_body", "loc:country",
+        "loc:location_of", "per:field_of_work",
+        "org:product_or_technology_or_service", "org:facility_or_location",
+        "org:acquisition", "loc:event_or_disaster", "org:customer",
+        "org:fin_event",
+    ]
+)
 
 # -- relation maps: source label -> (mapped label, swap subj/obj) ---------
 
@@ -259,6 +297,18 @@ RELATION_MAPS: dict[str, dict[str, tuple[str, bool]]] = {
     "fewrel": DOCRED_RELATION_MAP,  # fewrel_preprocessor.py:10-12
 }
 
+# labels whose O11 rule depends on the incoming type (see
+# preprocess.relation_entity_types) — handled as column conditionals,
+# excluded from the static lookup maps
+_CONDITIONAL_LABELS: frozenset[str] = frozenset(
+    [
+        "event:conflict",
+        "loc:country_of_origin",
+        "per:ethnic_group",
+        "org:shareholders",
+    ]
+)
+
 NER_MAPS: dict[str, dict[str, str]] = {
     "tacred": TACRED_NER_MAP,
     "docred": DOCRED_NER_MAP,
@@ -282,19 +332,45 @@ def merge_tacred_locations(label: Column) -> Column:
     return label
 
 
+# Per-dataset override defaults mirror the reference converters'
+# call sites: docred passes the map_docred_label default (False,
+# docred_preprocessor.py:12,300), plass has no override path at all
+# (plass_preprocessor.py:11-37), fewrel forces True
+# (fewrel_preprocessor.py:12), and kbp37/knet/gids/smiler use their
+# map_* default True.
+OVERRIDE_DEFAULTS: dict[str, bool] = {
+    "docred": False,
+    "plass": False,
+    "kbp37": True,
+    "knet": True,
+    "gids": True,
+    "smiler": True,
+    "fewrel": True,
+}
+
+
 def normalize_dataset(
-    df: DataFrame, dataset: str, override_entity_types: bool = True
+    df: DataFrame, dataset: str, override_entity_types: bool | None = None
 ) -> DataFrame:
     """DFKI-shaped rows -> shared label space. Unmapped labels (and
     docred's drop list) are removed; swap branches exchange
     entities[0]<->[1] and type[0]<->[1]; NER tags pass through the
     dataset's ner map. One Catalyst projection per step.
+
+    ``override_entity_types=None`` resolves to the dataset's reference
+    default (``OVERRIDE_DEFAULTS``). The O11 override applies
+    per-side: a side whose rule is unknown keeps its incoming type
+    (the reference's all-or-nothing ``if subj and obj`` guard differs
+    only when exactly one side resolves, which requires an
+    already-partial input type array).
     """
     if dataset == "tacred":
         out = df.withColumn("label", merge_tacred_locations(F.col("label")))
         return _apply_ner_map(out, NER_MAPS["tacred"])
     if dataset not in RELATION_MAPS:
         raise ValueError(f"unknown dataset: {dataset}")
+    if override_entity_types is None:
+        override_entity_types = OVERRIDE_DEFAULTS[dataset]
 
     rel_map = RELATION_MAPS[dataset]
     mapped_pairs: list[Column] = []
@@ -303,6 +379,15 @@ def normalize_dataset(
         mapped_pairs.extend([F.lit(src), F.lit(dst)])
         swap_pairs.extend([F.lit(src), F.lit(swap)])
     mapped = F.create_map(*mapped_pairs)[F.col("label")]
+    if dataset == "plass":
+        # plass_preprocessor.py:15-16: a label that is ALREADY in the
+        # shared space passes through before the elif chain runs
+        mapped = F.coalesce(
+            F.when(
+                F.col("label").isin(*sorted(RELATION_TYPES)), F.col("label")
+            ),
+            mapped,
+        )
     swap = F.coalesce(F.create_map(*swap_pairs)[F.col("label")], F.lit(False))
 
     type_final = F.when(
@@ -375,31 +460,76 @@ def normalize_dataset(
     )
 
     if override_entity_types:
-        # O11 backfill for the per:/org: label space; other labels keep
-        # their (possibly swapped) incoming types
-        labels = sorted({dst for dst, _ in rel_map.values()} | {"org:developer", "org:founded", "per:member_of", "org:members"})
+        # O11 backfill (get_entity_types_from_relation semantics over
+        # the post-swap types): static per-label rules as a map lookup;
+        # the four incoming-type-conditional branches as explicit whens;
+        # labels outside the chain keep their (possibly swapped)
+        # incoming types (reference fall-through).
+        labels = sorted(
+            {dst for dst, _ in rel_map.values()}
+            | {"org:developer", "org:founded", "per:member_of", "org:members"}
+        )
         subj_pairs: list[Column] = []
         obj_pairs: list[Column] = []
         for lab in labels:
+            if lab in _CONDITIONAL_LABELS:
+                continue
             s, o = relation_entity_types(lab)
             if s is not None:
                 subj_pairs.extend([F.lit(lab), F.lit(s)])
             if o is not None:
                 obj_pairs.extend([F.lit(lab), F.lit(o)])
-        subj_map = F.create_map(*subj_pairs) if subj_pairs else None
-        obj_map = F.create_map(*obj_pairs) if obj_pairs else None
-        if subj_map is not None or obj_map is not None:
-            new_subj = (
-                F.coalesce(subj_map[F.col("label")], F.col("type")[0])
-                if subj_map is not None
-                else F.col("type")[0]
+        label = F.col("label")
+        in_subj = F.col("type")[0]
+        in_obj = F.col("type")[1]
+        static_subj = (
+            F.coalesce(F.create_map(*subj_pairs)[label], in_subj)
+            if subj_pairs
+            else in_subj
+        )
+        static_obj = (
+            F.coalesce(F.create_map(*obj_pairs)[label], in_obj)
+            if obj_pairs
+            else in_obj
+        )
+        new_subj = (
+            F.when(label == "event:conflict", F.lit("EVENT"))
+            .when(label == "loc:country_of_origin", F.lit("LOC"))
+            .when(
+                label == "per:ethnic_group",
+                F.when(in_subj.isin("LOC", "PERSON"), in_subj).otherwise(
+                    F.lit("PERSON")
+                ),
             )
-            new_obj = (
-                F.coalesce(obj_map[F.col("label")], F.col("type")[1])
-                if obj_map is not None
-                else F.col("type")[1]
+            .when(label == "org:shareholders", F.lit("ORG"))
+            .otherwise(static_subj)
+        )
+        new_obj = (
+            F.when(
+                label == "event:conflict",
+                F.when(in_obj == "ORG", in_obj).otherwise(F.lit("PERSON")),
             )
-            out = out.withColumn("type", F.array(new_subj, new_obj))
+            .when(
+                label == "loc:country_of_origin",
+                # None stays None (add_ner_annotation.py:137-138)
+                F.when(
+                    in_obj.isNull() | in_obj.isin("MISC", "ORG", "PERSON"),
+                    in_obj,
+                ).otherwise(F.lit("MISC")),
+            )
+            .when(label == "per:ethnic_group", F.lit("LOC"))
+            .when(
+                label == "org:shareholders",
+                # the reference compares against the UNNORMALIZED
+                # "ORGANIZATION" string, so incoming "ORG" -> PERSON
+                # (quirk preserved, add_ner_annotation.py:176-178)
+                F.when(in_obj.isin("PERSON", "ORGANIZATION"), in_obj).otherwise(
+                    F.lit("PERSON")
+                ),
+            )
+            .otherwise(static_obj)
+        )
+        out = out.withColumn("type", F.array(new_subj, new_obj))
 
     return _apply_ner_map(out, NER_MAPS.get(dataset, {}))
 

@@ -41,56 +41,115 @@ TACRED_NER_MAP: dict[str, str] = {
     "TITLE": "POSITION",
 }
 
-# O11 — relation -> (subj_type, obj_type) rules
-# (add_ner_annotation.py:20-210). Expressed as the naming convention the
-# TACRED label space follows (per:* -> PERSON subject, org:* -> ORG
-# subject) plus an object-type map for the label tails; equivalent to
-# the reference's explicit case list for the standard label space.
-_OBJECT_TYPE_BY_TAIL: dict[str, str] = {
-    "title": "POSITION",
-    "degree": "DEGREE",
-    "age": "NUM",
-    "charges": "CHARGE",
-    "cause_of_death": "CAUSE_OF_DEATH",
-    "religion": "NORP",
-    "website": "URL",
-    "alternate_names": None,  # same as subject type
-    "place_of_birth": "LOC",
-    "place_of_death": "LOC",
-    "places_of_residence": "LOC",
-    "place_of_headquarters": "LOC",
-    "origin": "LOC",
-    "date_of_birth": "DATE",
-    "date_of_death": "DATE",
-    "founded": "DATE",
-    "dissolved": "DATE",
-    "employee_of": "ORG",
-    "member_of": "ORG",
-    "members": "ORG",
-    "subsidiaries": "ORG",
-    "parents": None,
-    "children": "PERSON",
-    "siblings": "PERSON",
-    "spouse": "PERSON",
-    "other_family": "PERSON",
-    "schools_attended": "ORG",
-    "top_members/employees": "PERSON",
-    "founded_by": "PERSON",
-    "shareholders": "PERSON",
-    "number_of_employees/members": "NUM",
-    "political/religious_affiliation": "NORP",
+# O11 — relation -> (subj_type, obj_type) rules: a 1:1 transcription of
+# the reference's explicit per-label chain
+# (add_ner_annotation.py:20-210, get_entity_types_from_relation).
+# Notable entries a naming-convention heuristic would get wrong (and a
+# previous revision did): per:religion -> obj ORG (not NORP), the
+# authored-work relations (author/director/composer/creator/lyrics_by/
+# notable_work/performer/producer/screenwriter) -> obj WORK_OF_ART,
+# loc:* subjects. Labels absent from the chain (per:age, per:charges,
+# org:website, org:acquisition, ...) fall through and KEEP the incoming
+# types, exactly like the reference's if/elif fall-through.
+RELATION_ENTITY_TYPES: dict[str, tuple[str, str]] = {
+    "per:place_of_birth": ("PERSON", "LOC"),
+    "per:degree": ("PERSON", "DEGREE"),
+    "per:place_of_death": ("PERSON", "LOC"),
+    "org:alternate_names": ("ORG", "ORG"),
+    "org:founded": ("ORG", "DATE"),
+    "org:founded_by": ("ORG", "PERSON"),
+    "org:members": ("ORG", "ORG"),
+    "org:subsidiaries": ("ORG", "ORG"),
+    "org:top_members/employees": ("ORG", "PERSON"),
+    "per:alternate_names": ("PERSON", "PERSON"),
+    "per:places_of_residence": ("PERSON", "LOC"),
+    "per:date_of_birth": ("PERSON", "DATE"),
+    "per:date_of_death": ("PERSON", "DATE"),
+    "per:employee_of": ("PERSON", "ORG"),
+    "per:origin": ("PERSON", "LOC"),
+    "per:political_affiliation": ("PERSON", "ORG"),
+    "per:title": ("PERSON", "POSITION"),
+    "per:author": ("PERSON", "WORK_OF_ART"),
+    "per:children": ("PERSON", "PERSON"),
+    "per:schools_attended": ("PERSON", "ORG"),
+    "per:country_of_citizenship": ("PERSON", "LOC"),
+    "per:parents": ("PERSON", "PERSON"),
+    "per:siblings": ("PERSON", "PERSON"),
+    "per:spouse": ("PERSON", "PERSON"),
+    "org:place_of_headquarters": ("ORG", "LOC"),
+    "org:member_of": ("ORG", "ORG"),
+    "per:member_of": ("PERSON", "ORG"),
+    "loc:location_of": ("LOC", "ORG"),
+    "per:head_of_gov/state": ("PERSON", "LOC"),
+    "per:director": ("PERSON", "WORK_OF_ART"),
+    "loc:capital_of": ("LOC", "LOC"),
+    "per:composer": ("PERSON", "WORK_OF_ART"),
+    "loc:country": ("LOC", "LOC"),
+    "per:creator": ("PERSON", "WORK_OF_ART"),
+    "per:developer": ("PERSON", "WORK_OF_ART"),
+    "org:dissolved": ("ORG", "DATE"),
+    "per:field_of_work": ("PERSON", "MISC"),
+    "per:language": ("PERSON", "MISC"),
+    "org:facility_or_location": ("ORG", "LOC"),
+    "org:location_of_formation": ("ORG", "LOC"),
+    "per:lyrics_by": ("PERSON", "WORK_OF_ART"),
+    "org:product_or_technology_or_service": ("ORG", "PRODUCT"),
+    "per:notable_work": ("PERSON", "WORK_OF_ART"),
+    "org:parents": ("ORG", "ORG"),
+    "per:performer": ("PERSON", "WORK_OF_ART"),
+    "per:producer": ("PERSON", "WORK_OF_ART"),
+    "org:production_company": ("ORG", "WORK_OF_ART"),
+    "per:religion": ("PERSON", "ORG"),
+    "per:screenwriter": ("PERSON", "WORK_OF_ART"),
+    "loc:twinned_adm_body": ("LOC", "LOC"),
+    "loc:unemployment_rate": ("LOC", "NUM"),
+    "per:work_location": ("PERSON", "LOC"),
+    "loc:located_in": ("LOC", "LOC"),
+}
+
+# Labels whose branch in the reference chain is conditional on the
+# INCOMING type: (fixed subj or (keep-list, fallback), same for obj).
+# event:conflict keeps an incoming ORG object (else PERSON);
+# loc:country_of_origin keeps MISC/ORG/PERSON objects and otherwise
+# forces MISC only when an incoming type exists (None stays None);
+# per:ethnic_group keeps LOC/PERSON subjects (else PERSON);
+# org:shareholders keeps PERSON/ORGANIZATION objects — note the
+# reference compares against the *unnormalized* "ORGANIZATION" string,
+# so an incoming "ORG" is rewritten to PERSON (quirk preserved).
+_CONDITIONAL_ENTITY_TYPES = {
+    "event:conflict",
+    "loc:country_of_origin",
+    "per:ethnic_group",
+    "org:shareholders",
 }
 
 
-def relation_entity_types(label: str) -> tuple[str | None, str | None]:
-    """(subj_type, obj_type) implied by a TACRED-style relation label."""
-    if ":" not in label:
-        return None, None
-    prefix, _, tail = label.partition(":")
-    subj_type = {"per": "PERSON", "org": "ORG"}.get(prefix)
-    obj_type = _OBJECT_TYPE_BY_TAIL.get(tail)
-    if obj_type is None and tail in ("alternate_names", "parents"):
-        obj_type = subj_type
+def relation_entity_types(
+    label: str,
+    subj_type: str | None = None,
+    obj_type: str | None = None,
+) -> tuple[str | None, str | None]:
+    """(subj_type, obj_type) implied by a relation label — the exact
+    semantics of ``get_entity_types_from_relation(relation_label,
+    subj_type, obj_type)`` including incoming-type-conditional branches
+    and keep-incoming fall-through.
+    """
+    if label in RELATION_ENTITY_TYPES:
+        return RELATION_ENTITY_TYPES[label]
+    if label == "event:conflict":
+        return "EVENT", obj_type if obj_type == "ORG" else "PERSON"
+    if label == "loc:country_of_origin":
+        if obj_type is not None and obj_type not in ("MISC", "ORG", "PERSON"):
+            obj_type = "MISC"
+        return "LOC", obj_type
+    if label == "per:ethnic_group":
+        if subj_type not in ("LOC", "PERSON"):
+            subj_type = "PERSON"
+        return subj_type, "LOC"
+    if label == "org:shareholders":
+        if obj_type not in ("PERSON", "ORGANIZATION"):
+            obj_type = "PERSON"
+        return "ORG", obj_type
     return subj_type, obj_type
 
 

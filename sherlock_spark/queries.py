@@ -27,7 +27,11 @@ from sherlock_spark.functions.dedup import (
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
 )
-from sherlock_spark.functions.similarity import cosine_topk, lsh_topk_cosine
+from sherlock_spark.functions.similarity import (
+    cosine_topk,
+    hyperplane_buckets,
+    lsh_topk_cosine,
+)
 from sherlock_spark.functions.textstats import (
     LANG_STOPWORDS,
     fingerprint,
@@ -927,6 +931,17 @@ _SIM_DIM = 64
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings = _load(spark, sf_dir, "embeddings")
     queries = embeddings.filter(F.col("vec_id") < 8)
+    # the corpus signature table is the expensive part (n_planes x dim
+    # literal-array dots per row) — materialize it ONCE per (session,
+    # dataset) and probe it on every invocation; queries are a subset of
+    # the corpus, so their buckets are a filter of the same table
+    corpus_buckets = stage(
+        spark,
+        ("sim_lsh_buckets", sf_dir, _SIM_LSH_PLANES, _SIM_LSH_BANDS),
+        lambda: hyperplane_buckets(
+            embeddings, _SIM_LSH_PLANES, _SIM_LSH_BANDS, _SIM_DIM
+        ),
+    )
     return lsh_topk_cosine(
         embeddings,
         queries,
@@ -934,6 +949,8 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=_SIM_LSH_PLANES,
         bands=_SIM_LSH_BANDS,
         dim=_SIM_DIM,
+        corpus_buckets=corpus_buckets,
+        query_buckets=corpus_buckets.filter(F.col("doc_id") < 8),
     ).select(
         F.col("query_id").cast("long"),
         F.col("neighbor_id").cast("long"),
@@ -1002,6 +1019,218 @@ SQL_SIM_LSH_TOPK = f"""
 """
 
 
+# -- streaming (oracle-gated: the availableNow file-sink output is
+# deterministic — the stream is the SAME per-turn dataflow as
+# kg_triples, so kg_triples' SQL is its oracle) -------------------------
+
+
+def q_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming triple extraction over a file source with
+    exactly-once sink + checkpoint, run with ``availableNow`` (process
+    the backlog, then stop). Built once per (session, dataset): the
+    transcript table is written to parquet, streamed through the full
+    extract pipeline into a parquet sink, and the committed result read
+    back. Work dirs are keyed by applicationId, so a fresh process
+    always reprocesses from scratch (no stale checkpoints).
+    """
+    import os
+    import tempfile
+
+    from sherlock_spark.streaming.stream import stream_extract_triples
+
+    def build() -> DataFrame:
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "sherlock_stream",
+            spark.sparkContext.applicationId,
+            sf_dir.strip("/").replace("/", "_"),
+        )
+        input_dir = os.path.join(base, "input")
+        output_dir = os.path.join(base, "triples")
+        checkpoint_dir = os.path.join(base, "ckpt")
+        transcripts_from_documents(
+            _load(spark, sf_dir, "documents"), N_CONVS
+        ).repartition(8).write.mode("overwrite").parquet(input_dir)
+        query = stream_extract_triples(
+            spark, input_dir, output_dir, checkpoint_dir, available_now=True
+        )
+        query.awaitTermination()
+        return spark.read.parquet(output_dir)
+
+    triples = stage(spark, ("stream_triples", sf_dir), build)
+    return triples.select(
+        "conv_id",
+        F.col("turn_idx").cast("long"),
+        F.col("head_idx").cast("long"),
+        F.col("tail_idx").cast("long"),
+        "subj_text",
+        "subj_type",
+        "pred",
+        "obj_text",
+        "obj_type",
+    )
+
+
+SQL_STREAM_TRIPLES = SQL_KG_TRIPLES  # same dataflow, streaming execution
+
+
+# -- multimodal (oracle-gated: binary payloads derived from documents;
+# the md5-stub decode is replayed from first principles in SQL) ---------
+
+_MEDIA_KINDS = ["image", "audio", "video"]
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table from ``documents``: payload = UTF-8
+    text bytes; kind/dims/duration are doc_id arithmetic."""
+    documents = _load(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in _MEDIA_KINDS]),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
+    is_image = kind == "image"
+    return documents.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        kind.alias("kind"),
+        F.lit(None).cast("string").alias("mime"),
+        F.when(is_image, (100 + (F.col("doc_id") % 40) * 20))
+        .cast("int")
+        .alias("width"),
+        F.when(is_image, (100 + (F.col("doc_id") % 25) * 30))
+        .cast("int")
+        .alias("height"),
+        F.when(~is_image, (1000 + (F.col("doc_id") % 17) * 700))
+        .cast("int")
+        .alias("duration_ms"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+_MEDIA_SQL = """
+    media AS (
+        SELECT doc_id AS media_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 100 + (doc_id % 40) * 20 END AS width,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 100 + (doc_id % 25) * 30 END AS height,
+               CASE WHEN doc_id % 3 <> 0
+                    THEN 1000 + (doc_id % 17) * 700 END AS duration_ms,
+               text
+        FROM documents
+    )
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas batch decode -> 16-dim md5 feature. The projection
+    pins the decode end-to-end: content hash, byte size, the first
+    feature component, and the L2 norm of the whole vector (1.0 iff
+    normalization is correct). Explicit stub decoder: its output is the
+    SQL-replayable contract (PIL upgrades use default_image_decoder).
+    """
+    from sherlock_spark.functions.multimodal import (
+        _decode_image_bytes,
+        extract_media_features,
+    )
+
+    features = extract_media_features(
+        _media(spark, sf_dir), decoder=_decode_image_bytes
+    )
+    sum_sq = F.aggregate(
+        "feature", F.lit(0.0), lambda acc, v: acc + v * v
+    )
+    return features.select(
+        F.col("media_id").cast("long"),
+        "kind",
+        F.col("n_bytes").cast("long"),
+        "content_hash",
+        F.round(F.element_at("feature", 1), 4).alias("f0"),
+        F.round(sum_sq, 3).alias("norm_sq"),
+    )
+
+
+# md5 BYTE j of the payload (0-indexed) from the hex digest, exact in
+# doubles: 16*h(2j+1) + h(2j+2), h(i) = strpos-based hex-char value
+_MM_BYTE = (
+    "(16 * (strpos('0123456789abcdef', substring(md5(text), 2*j.j + 1, 1)) - 1)"
+    " + (strpos('0123456789abcdef', substring(md5(text), 2*j.j + 2, 1)) - 1))"
+)
+
+SQL_MULTIMODAL_FEATURES = f"""
+    WITH {_MEDIA_SQL},
+    bytes AS (
+        SELECT media_id, kind, text, j.j AS idx,
+               CAST({_MM_BYTE} AS DOUBLE) AS byteval
+        FROM media, (SELECT unnest(generate_series(0, 15)) AS j) j
+    ),
+    agg AS (
+        SELECT media_id, kind, min(text) AS text,
+               sqrt(SUM(byteval * byteval)) AS nrm,
+               SUM(CASE WHEN idx = 0 THEN byteval END) AS b0
+        FROM bytes GROUP BY media_id, kind
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_hash,
+           round(b0 / nrm, 4) AS f0,
+           round(1.0, 3) AS norm_sq
+    FROM agg
+"""
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sherlock_spark.functions.multimodal import resize_plan
+
+    planned = resize_plan(_media(spark, sf_dir), max_side=256)
+    return planned.filter(F.col("kind") == "image").select(
+        F.col("media_id").cast("long"),
+        F.col("width").cast("long"),
+        F.col("height").cast("long"),
+        F.col("target_width").cast("long"),
+        F.col("target_height").cast("long"),
+    )
+
+
+SQL_MULTIMODAL_RESIZE = f"""
+    WITH {_MEDIA_SQL}
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(CASE WHEN width > 256 OR height > 256
+                THEN round(width * (256.0 / greatest(width, height)))
+                ELSE width END AS BIGINT) AS target_width,
+           CAST(CASE WHEN width > 256 OR height > 256
+                THEN round(height * (256.0 / greatest(width, height)))
+                ELSE height END AS BIGINT) AS target_height
+    FROM media WHERE kind = 'image'
+"""
+
+
+def q_multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sherlock_spark.functions.multimodal import chunk_audio
+
+    chunks = chunk_audio(_media(spark, sf_dir), window_ms=5000, hop_ms=2500)
+    return chunks.select(
+        F.col("media_id").cast("long"),
+        F.col("chunk_start_ms").cast("long"),
+        F.col("chunk_end_ms").cast("long"),
+    )
+
+
+SQL_MULTIMODAL_CHUNKS = f"""
+    WITH {_MEDIA_SQL}
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(s.s AS BIGINT) AS chunk_start_ms,
+           CAST(least(s.s + 5000, duration_ms) AS BIGINT) AS chunk_end_ms
+    FROM media,
+         LATERAL (SELECT unnest(generate_series(0,
+                      greatest(duration_ms - 1, 0), 2500)) AS s) s
+    WHERE kind = 'audio'
+"""
+
+
 # -- registry -----------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1033,6 +1262,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_lsh_topk": q_sim_lsh_topk,
+    "stream_triples": q_stream_triples,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_chunks": q_multimodal_chunks,
 }
 
 ORACLES: dict[str, str] = {
@@ -1064,4 +1297,8 @@ ORACLES: dict[str, str] = {
     "text_quality": SQL_TEXT_QUALITY,
     "sim_topk_cosine": SQL_SIM_TOPK,
     "sim_lsh_topk": SQL_SIM_LSH_TOPK,
+    "stream_triples": SQL_STREAM_TRIPLES,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "multimodal_resize": SQL_MULTIMODAL_RESIZE,
+    "multimodal_chunks": SQL_MULTIMODAL_CHUNKS,
 }

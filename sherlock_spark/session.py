@@ -23,13 +23,18 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     ``cores`` defaults to $SPARK_GRAFT_CPUS or all local cores. On a real
     cluster this function is still the single place where engine tuning
     lives; ``master`` is then injected by spark-submit and the
-    ``local[...]`` default is ignored.
+    ``local[...]`` default is ignored. Pass ``master`` explicitly for
+    the multi-executor proxy (``local-cluster[n,c,mem_mb]`` — separate
+    executor JVMs with their own heaps/GC, the closest single-box model
+    of a real cluster; pair with ``spark.executor.memory`` via
+    ``extra_conf``).
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -39,7 +44,7 @@ def get_spark(
         shuffle_partitions = max(cores, 8)
 
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master or f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

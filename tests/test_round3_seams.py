@@ -1,0 +1,150 @@
+"""Round-3 seams: RC from_pretrained path, pluggable media decoder,
+stage registry, and per-dataset normalizer defaults."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sherlock_spark.functions import multimodal
+from sherlock_spark.model_stub import (
+    DEFAULT_RC_LABELS,
+    FIXTURE_NER_LEXICON,
+    FIXTURE_RC_LABELS,
+    FIXTURE_RC_RULES,
+    StubRcModel,
+)
+from sherlock_spark.operators.features import (
+    distribute_pretrained,
+    rc_classify_from_pretrained,
+    save_rc_pretrained_dir,
+)
+from sherlock_spark.udfcache import clear_session_caches, config_hash, stage
+
+
+# -- RC pretrained seam ----------------------------------------------------
+
+
+def test_rc_pretrained_seam_one_load_per_worker(spark, tmp_path):
+    """RC mirror of the NER seam: directory -> SparkFiles -> per-worker
+    singleton; one bundle load even across many tasks; predictions equal
+    the broadcast stub path."""
+    model_dir = str(tmp_path / "rc_model")
+    rng = np.random.default_rng(11)
+    save_rc_pretrained_dir(
+        model_dir,
+        FIXTURE_RC_LABELS,
+        rule_map=FIXTURE_RC_RULES,
+        weights={"head": rng.normal(size=(1024, 512)).astype(np.float32)},
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            ("PERSON", "TITLE", "Douglas Flint", "chairman"),
+            ("PERSON", "CITY", "Montcourt", "PARIS"),
+            ("PERSON", "PERSON", "Douglas Flint", "Stephen Green"),
+        ]
+        * 16,
+        "subj_type string, obj_type string, subj_text string, obj_text string",
+    ).repartition(8)  # more tasks than workers -> load counter proves reuse
+
+    out = rc_classify_from_pretrained(spark, pairs, model_dir).collect()
+    assert out and max(r.model_loads for r in out) == 1
+
+    stub = StubRcModel(FIXTURE_RC_LABELS, FIXTURE_RC_RULES)
+    for row in out:
+        logits = stub.forward_pairs(
+            [(row.subj_type, row.obj_type, row.subj_text, row.obj_text)]
+        )
+        assert row.pred == FIXTURE_RC_LABELS[int(logits.argmax(axis=1)[0])]
+    preds = {(r.subj_type, r.obj_type): r.pred for r in out}
+    assert preds[("PERSON", "TITLE")] == "per:title"
+    assert preds[("PERSON", "PERSON")] == "no_relation"
+
+
+def test_distribute_pretrained_missing_dir_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        distribute_pretrained(spark, str(tmp_path / "nope"))
+
+
+# -- pluggable media decoder ----------------------------------------------
+
+
+def test_default_decoder_falls_back_to_stub(monkeypatch):
+    """No PIL in this container -> the default decoder IS the stub."""
+    assert multimodal.default_image_decoder() is multimodal._decode_image_bytes
+
+
+def test_decoder_swap_point(spark, monkeypatch):
+    """A 'real' decoder passed explicitly (or resolved as the default)
+    replaces the stub without any other change — the in-place upgrade
+    path for a cluster with PIL installed."""
+
+    def fake_real_decoder(payload: bytes) -> np.ndarray:
+        vec = np.full(4, float(len(payload or b"")) or 1.0)
+        return vec / np.linalg.norm(vec)
+
+    media = spark.createDataFrame(
+        [(1, "image", None, None, None, None, bytearray(b"abcd"))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.extract_media_features(
+        media, decoder=fake_real_decoder
+    ).collect()
+    assert len(rows[0].feature) == 4  # the fake's shape, not the stub's 16
+    assert rows[0].n_bytes == 4
+
+    # the default path resolves through default_image_decoder -> swap it
+    monkeypatch.setattr(
+        multimodal, "default_image_decoder", lambda: fake_real_decoder
+    )
+    rows = multimodal.extract_media_features(media).collect()
+    assert len(rows[0].feature) == 4
+
+
+def test_stub_decoder_is_unit_norm_double():
+    vec = multimodal._decode_image_bytes(b"payload")
+    assert vec.dtype == np.float64
+    assert vec.shape == (16,)
+    assert abs(float(np.linalg.norm(vec)) - 1.0) < 1e-12
+
+
+# -- stage registry --------------------------------------------------------
+
+
+def test_stage_builds_once_and_cuts_lineage(spark):
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(10).select(F.col("id").alias("x"))
+
+    key = ("test_stage", "unit")
+    first = stage(spark, key, build)
+    second = stage(spark, key, build)
+    assert calls["n"] == 1
+    assert first is second
+    assert first.count() == 10
+
+
+def test_config_hash_stable_and_discriminating():
+    a = config_hash({"labels": ["x", "y"], "rule_map": {("A", "B"): "r"}})
+    b = config_hash({"rule_map": {("A", "B"): "r"}, "labels": ["x", "y"]})
+    assert a == b  # dict order-insensitive
+    c = config_hash({"labels": ["x", "z"], "rule_map": {("A", "B"): "r"}})
+    assert a != c
+
+
+def test_memoized_udfs_make_plans_equal(spark):
+    """Two constructions of the same annotate config produce the SAME
+    UDF instance, so repeated query builds are plan-cache-equal — the
+    property the persist/stage reuse relies on."""
+    from sherlock_spark.operators.ner import ner_ments_udf
+
+    u1 = ner_ments_udf(spark, FIXTURE_NER_LEXICON)
+    u2 = ner_ments_udf(spark, FIXTURE_NER_LEXICON)
+    assert u1 is u2
+    u3 = ner_ments_udf(spark, {"other": "B-X"})
+    assert u3 is not u1
