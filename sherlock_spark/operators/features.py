@@ -56,8 +56,11 @@ NER_FEATURES_TYPE = T.StructType(
 
 _CONVERTER_CACHE: dict[str, TokenClassificationConverter] = {}
 _BUNDLE_CACHE: dict[str, tuple] = {}
-# per-worker load counter, observable from tests (returned as a column)
-BUNDLE_LOADS = {"count": 0}
+# per-worker, per-bundle load counters, observable from tests (returned
+# as a column). Keyed by bundle name: a long-lived Python worker serves
+# many stages (NER bundle, RC bundle, ...), so a global count would read
+# N after N distinct bundles even though each loaded exactly once.
+BUNDLE_LOADS: dict[str, int] = {}
 
 
 def ner_features_udf(
@@ -197,7 +200,7 @@ def _load_bundle(bundle_name: str):
         # force the mmap'd arrays resident so load cost is paid here, once
         n_params = int(sum(weights[key].size for key in weights.files))
         model = StubNerModel(lexicon)
-        BUNDLE_LOADS["count"] += 1
+        BUNDLE_LOADS[bundle_name] = BUNDLE_LOADS.get(bundle_name, 0) + 1
         cached = (model, converter, n_params)
         _BUNDLE_CACHE[bundle_name] = cached
     return cached
@@ -240,7 +243,7 @@ def ner_annotate_from_pretrained(
         from sherlock_spark.operators import features as _feats
 
         model, _converter, _n_params = _feats._load_bundle(bundle_name)
-        loads = _feats.BUNDLE_LOADS["count"]
+        loads = _feats.BUNDLE_LOADS.get(bundle_name, 0)
         for series in batches:
             token_lists = [list(words) for words in series]
             tag_lists = model.predict_tags(token_lists)
@@ -322,7 +325,7 @@ def _load_rc_bundle(bundle_name: str):
         weights = np.load(os.path.join(local_dir, "weights.npz"))
         n_params = int(sum(weights[key].size for key in weights.files))
         model = StubRcModel(labels, rules or None)
-        BUNDLE_LOADS["count"] += 1
+        BUNDLE_LOADS[bundle_name] = BUNDLE_LOADS.get(bundle_name, 0) + 1
         cached = (model, n_params)
         _BUNDLE_CACHE[bundle_name] = cached
     return cached
@@ -357,7 +360,7 @@ def rc_classify_from_pretrained(
         from sherlock_spark.operators import features as _feats
 
         model, _n_params = _feats._load_rc_bundle(bundle_name)
-        loads = _feats.BUNDLE_LOADS["count"]
+        loads = _feats.BUNDLE_LOADS.get(bundle_name, 0)
         labels_list = model.labels
         for st, ot, sx, ox in batches:
             logits = model.forward_pairs(list(zip(st, ot, sx, ox)))
