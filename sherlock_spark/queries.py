@@ -293,16 +293,18 @@ SQL_KG_LINKS = f"""
 """
 
 
-def q_kg_canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical-edge materialization over checkpointed shared stages.
+def _graph_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared (nodes, edges) materialization over checkpointed stages.
 
     The three expensive stages (NER annotation, link->CC canonical map,
     triple extraction) are materialized ONCE per (session, sf_dir)
     through the in-process stage registry (``udfcache.stage``) — the
     resume pattern of ``plans/checkpoint.py`` applied to repeated query
-    invocations: the second construction of this query (and the
-    nodes-vs-edges branches) reads stage output instead of re-running
-    the model UDFs and the CC loop.
+    invocations: the second construction (and the nodes-vs-edges
+    branches) reads stage output instead of re-running the model UDFs
+    and the CC loop.
     """
     # NER output feeds both linking and extraction — pruned to the
     # columns those stages read (drop text/tokens/bio)
@@ -336,9 +338,30 @@ def q_kg_canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_mentions=MAX_MENTIONS,
         ),
     )
-    _nodes, edges = materialize_graph(triples, canonical_map)
+    return materialize_graph(triples, canonical_map)
+
+
+def q_kg_canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated canonical EDGE table (north rule: node/edge tables)."""
+    _nodes, edges = _graph_tables(spark, sf_dir)
     return edges.select(
         "subj_id", "pred", "obj_id", F.col("n_evidence").cast("long")
+    )
+
+
+def q_kg_canonical_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated canonical NODE table — the other half of the north
+    rule's "materialized as deduplicated node/edge tables". One row per
+    (canonical_id, label) with the sorted distinct surface forms merged
+    under it; surface_forms is pipe-joined so the driver's value hash
+    compares a scalar string (array cell reprs differ between Arrow and
+    DuckDB result frames)."""
+    nodes, _edges = _graph_tables(spark, sf_dir)
+    return nodes.select(
+        "canonical_id",
+        "label",
+        F.array_join("surface_forms", "|").alias("surface_forms"),
+        F.size("surface_forms").cast("long").alias("n_forms"),
     )
 
 
@@ -372,6 +395,53 @@ SQL_KG_CANONICAL_EDGES = f"""
       ON lower(tr.obj_text) = co.alias AND tr.obj_type = co.ent_type
     WHERE b <> 0
     GROUP BY 1, 2, 3
+"""
+
+
+SQL_KG_CANONICAL_NODES = f"""
+    WITH t AS ({_T_SQL}), {_TOKENS_SQL}, {_MENTIONS_SQL},
+    aliases(alias, kb_id, ent_type) AS (VALUES {_ALIAS_VALUES}),
+    canon AS (
+        SELECT a1.alias, a1.ent_type,
+               (SELECT min('a:' || a2.ent_type || ':' || a2.alias)
+                FROM aliases a2 WHERE a2.kb_id = a1.kb_id) AS canonical_id
+        FROM aliases a1
+    ),
+    triples AS (
+        SELECT h.surface AS subj_text, h.label AS subj_type,
+               o.surface AS obj_text, o.label AS obj_type, ({_BUCKET}) AS b
+        FROM mentions h JOIN mentions o
+          ON h.conv_id = o.conv_id AND h.turn_idx = o.turn_idx
+         AND h.ment_idx <> o.ment_idx
+        WHERE h.ment_idx < {MAX_MENTIONS} AND o.ment_idx < {MAX_MENTIONS}
+    ),
+    resolved AS (
+        SELECT COALESCE(cs.canonical_id,
+                        'a:' || tr.subj_type || ':' || lower(tr.subj_text))
+                   AS subj_id,
+               tr.subj_type, lower(tr.subj_text) AS subj_norm,
+               COALESCE(co.canonical_id,
+                        'a:' || tr.obj_type || ':' || lower(tr.obj_text))
+                   AS obj_id,
+               tr.obj_type, lower(tr.obj_text) AS obj_norm
+        FROM triples tr
+        LEFT JOIN canon cs
+          ON lower(tr.subj_text) = cs.alias AND tr.subj_type = cs.ent_type
+        LEFT JOIN canon co
+          ON lower(tr.obj_text) = co.alias AND tr.obj_type = co.ent_type
+        WHERE tr.b <> 0
+    ),
+    endpoints AS (
+        SELECT subj_id AS canonical_id, subj_type AS label,
+               subj_norm AS surface FROM resolved
+        UNION ALL
+        SELECT obj_id, obj_type, obj_norm FROM resolved
+    )
+    SELECT canonical_id, label,
+           string_agg(DISTINCT surface, '|' ORDER BY surface)
+               AS surface_forms,
+           CAST(count(DISTINCT surface) AS BIGINT) AS n_forms
+    FROM endpoints GROUP BY 1, 2
 """
 
 
@@ -834,7 +904,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_MINHASH = SQL_DEDUP_NGRAM  # exact-verified output == exact pairs
+# exact-verified output == exact pairs. CAVEAT: this equality is an
+# oracle property of THIS corpus + band config, not of MinHash-LSH in
+# general — 16 bands x 2 rows puts P(miss) at J=0.8 near 3e-4, so a
+# regenerated corpus with many pairs sitting exactly at threshold could
+# make the gate flaky; if that happens, lower bands/rows or gate on the
+# recall fraction instead of set equality.
+SQL_DEDUP_MINHASH = SQL_DEDUP_NGRAM
 
 
 def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1240,6 +1316,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triples": q_kg_triples,
     "kg_links": q_kg_links,
     "kg_canonical_edges": q_kg_canonical_edges,
+    "kg_canonical_nodes": q_kg_canonical_nodes,
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_region_revenue": q_rel_region_revenue,
     "rel_forecast_revenue": q_rel_forecast_revenue,
@@ -1275,6 +1352,7 @@ ORACLES: dict[str, str] = {
     "kg_triples": SQL_KG_TRIPLES,
     "kg_links": SQL_KG_LINKS,
     "kg_canonical_edges": SQL_KG_CANONICAL_EDGES,
+    "kg_canonical_nodes": SQL_KG_CANONICAL_NODES,
     "rel_pricing_summary": SQL_REL_PRICING_SUMMARY,
     "rel_region_revenue": SQL_REL_REGION_REVENUE,
     "rel_forecast_revenue": SQL_REL_FORECAST_REVENUE,
