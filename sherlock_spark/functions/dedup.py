@@ -334,3 +334,63 @@ def simhash_candidates(
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def embedding_cosine_dedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the LSH-bucketed scale
+    path: candidate pairs come from shared hyperplane-sign band buckets
+    (never all-pairs; one bucketing shuffle, per-pair work scales with
+    bucket occupancy), then exact JVM-side cosine keeps pairs at
+    ``cos >= threshold``. Output: (id_a, id_b, cos), cos rounded to 4
+    decimals, id_a < id_b.
+
+    ``max_bucket_size`` drops oversized buckets whole (hot-bucket
+    pair-blowup bound; a bucket of B vectors contributes O(B²) pairs).
+    Recall/cost trade the same way as the text MinHash path: more
+    bands -> higher recall, more candidate pairs to verify.
+    """
+    from sherlock_spark.functions.similarity import (
+        _dot,
+        _norm,
+        hyperplane_lsh_candidates,
+    )
+
+    cands = hyperplane_lsh_candidates(
+        embeddings, n_planes, bands, dim, id_col, vec_col, max_bucket_size
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec")
+    )
+    scored = (
+        cands.join(
+            vecs.select(
+                F.col("_vid").alias("id_a"), F.col("_vec").alias("vec_a")
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("_vid").alias("id_b"), F.col("_vec").alias("vec_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("vec_a"), F.col("vec_b"))
+                / (_norm(F.col("vec_a")) * _norm(F.col("vec_b"))),
+                4,
+            ).alias("cos"),
+        )
+    )
+    return scored.filter(F.col("cos") >= threshold)

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from sherlock_spark.functions.dedup import (
     dedup_exact,
+    embedding_cosine_dedup_pairs,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
 )
@@ -1095,6 +1096,111 @@ SQL_SIM_LSH_TOPK = f"""
 """
 
 
+# -- embedding-cosine near-dup (oracle-gated) ---------------------------
+#
+# The synthetic embeddings are i.i.d. random (max pairwise cos ~0.51 at
+# sf0.01), so near-duplicate structure is PLANTED deterministically
+# inside the query: every vec_id % 5 == 0 vector gets a clone at
+# vec_id + 100000 with a +-0.01 alternating componentwise perturbation
+# (cos vs original ~0.9999). Both engines build the identical corpus,
+# replay the identical hyperplane buckets, and verify with exact
+# cosine, so the compare is deterministic regardless of LSH recall.
+
+_EMB_CLONE_OFFSET = 100_000
+_EMB_CLONE_STEP = 5
+_EMB_DEDUP_THRESHOLD = 0.9
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, LSH-bucketed (the 100-TB scale path
+    of the dedup family): hyperplane band buckets -> candidate pairs ->
+    exact JVM cosine >= threshold. Never all-pairs — per-pair work
+    scales with bucket occupancy, not corpus size."""
+    emb = _load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    clones = emb.filter(F.col("vec_id") % _EMB_CLONE_STEP == 0).select(
+        (F.col("vec_id") + _EMB_CLONE_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            + F.when(i % 2 == 0, F.lit(0.01)).otherwise(F.lit(-0.01)),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(clones)
+    return embedding_cosine_dedup_pairs(
+        corpus,
+        threshold=_EMB_DEDUP_THRESHOLD,
+        n_planes=_SIM_LSH_PLANES,
+        bands=_SIM_LSH_BANDS,
+        dim=_SIM_DIM,
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cos",
+    )
+
+
+SQL_DEDUP_EMBEDDING_COSINE = f"""
+    WITH planes AS (
+        SELECT p.p AS plane, c.c AS comp,
+               (SUM((strpos('0123456789abcdef',
+                            substring(md5(p.p || ':' || c.c), i.i, 1)) - 1)
+                    * power(16, 8 - i.i)) / 2147483648.0) - 1.0 AS val
+        FROM (SELECT unnest(generate_series(0, {_SIM_LSH_PLANES - 1})) AS p) p,
+             (SELECT unnest(generate_series(0, {_SIM_DIM - 1})) AS c) c,
+             (SELECT unnest(generate_series(1, 8)) AS i) i
+        GROUP BY p.p, c.c
+    ),
+    base_comps AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS comp,
+               CAST(unnest(embedding) AS DOUBLE) AS ev
+        FROM embeddings
+    ),
+    corpus_comps AS (
+        SELECT vec_id, comp, ev FROM base_comps
+        UNION ALL
+        SELECT vec_id + {_EMB_CLONE_OFFSET}, comp,
+               ev + 0.01 * (CASE WHEN comp % 2 = 0 THEN 1 ELSE -1 END)
+        FROM base_comps WHERE vec_id % {_EMB_CLONE_STEP} = 0
+    ),
+    dots AS (
+        SELECT c.vec_id, pl.plane, SUM(c.ev * pl.val) AS dot
+        FROM corpus_comps c JOIN planes pl ON c.comp = pl.comp
+        GROUP BY c.vec_id, pl.plane
+    ),
+    buckets AS (
+        SELECT vec_id, plane // {_SIM_LSH_PER_BAND} AS band,
+               string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END,
+                          '' ORDER BY plane) AS bucket
+        FROM dots GROUP BY vec_id, plane // {_SIM_LSH_PER_BAND}
+    ),
+    cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT cand.id_a, cand.id_b,
+               round(SUM(ca.ev * cb.ev)
+                     / (sqrt(SUM(ca.ev * ca.ev))
+                        * sqrt(SUM(cb.ev * cb.ev))), 4) AS cos
+        FROM cand
+        JOIN corpus_comps ca ON ca.vec_id = cand.id_a
+        JOIN corpus_comps cb
+          ON cb.vec_id = cand.id_b AND cb.comp = ca.comp
+        GROUP BY cand.id_a, cand.id_b
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, cos
+    FROM s WHERE cos >= {_EMB_DEDUP_THRESHOLD}
+"""
+
+
 # -- streaming (oracle-gated: the availableNow file-sink output is
 # deterministic — the stream is the SAME per-turn dataflow as
 # kg_triples, so kg_triples' SQL is its oracle) -------------------------
@@ -1333,6 +1439,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "text_token_count": q_text_token_count,
     "text_fingerprint": q_text_fingerprint,
     "text_language_id": q_text_language_id,
@@ -1369,6 +1476,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "text_language_id": SQL_TEXT_LANGUAGE_ID,

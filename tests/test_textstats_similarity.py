@@ -126,3 +126,39 @@ def test_cosine_topk_and_lsh(spark):
     pairs = {(r.id_a, r.id_b) for r in cands.collect()}
     # identical direction vectors must share all sign buckets
     assert (0, 4) in pairs or (0, 8) in pairs or (0, 12) in pairs
+
+
+def test_embedding_cosine_dedup_finds_planted_clones(spark):
+    """LSH-bucketed embedding near-dup: planted near-identical clones
+    are found with cos ~ 1; unrelated random vectors are not paired;
+    an aggressive bucket cap drops hot buckets whole (bounded work)."""
+    import random
+
+    from sherlock_spark.functions.dedup import embedding_cosine_dedup_pairs
+
+    rng = random.Random(7)
+    rows = []
+    for vid in range(40):
+        vec = [rng.uniform(-1, 1) for _ in range(16)]
+        rows.append((vid, vec))
+    # clones of every 10th vector, tiny perturbation
+    for vid in range(0, 40, 10):
+        base = rows[vid][1]
+        rows.append((1000 + vid, [v + 0.001 for v in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    pairs = embedding_cosine_dedup_pairs(
+        df, threshold=0.95, n_planes=8, bands=4, dim=16
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert {(vid, 1000 + vid) for vid in range(0, 40, 10)} <= found
+    assert all(r.cos >= 0.95 for r in pairs)
+    # random 16-dim vectors essentially never hit cos >= 0.95
+    assert all(r.id_b >= 1000 for r in pairs)
+
+    # hot-bucket bound: cap of 1 drops every bucket with >= 2 members,
+    # so no candidates survive
+    capped = embedding_cosine_dedup_pairs(
+        df, threshold=0.95, n_planes=8, bands=4, dim=16, max_bucket_size=1
+    ).count()
+    assert capped == 0
