@@ -148,3 +148,21 @@ def test_memoized_udfs_make_plans_equal(spark):
     assert u1 is u2
     u3 = ner_ments_udf(spark, {"other": "B-X"})
     assert u3 is not u1
+
+
+# -- driver-contract consistency -------------------------------------------
+
+
+def test_queries_and_oracles_keys_match():
+    """Every queries() entry has an oracle_sql() twin and vice versa —
+    the driver records a weaker rows-only check for any query missing an
+    oracle, so a key drift silently downgrades the gate."""
+    import __spark_entry__ as entry
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    assert set(queries) == set(oracles)
+    assert len(queries) >= 34
+    # every oracle is a non-empty SQL string mentioning a SELECT
+    for name, sql in oracles.items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name

@@ -115,6 +115,24 @@ def main() -> int:
         plan,
     )
 
+    # 5. stage-registry reuse: a REPEAT construction of the canonical-
+    #    edge query must read checkpointed stage output — no Python UDF
+    #    stage anywhere in its plan (the model/CC work ran once, at
+    #    first construction). This pins the structural fix for round-2's
+    #    per-invocation re-execution, independent of wall-clock.
+    from sherlock_spark.queries import q_kg_canonical_edges
+
+    q_kg_canonical_edges(spark, sf_dir).count()  # materialize stages
+    plan = plan_of(q_kg_canonical_edges(spark, sf_dir))
+    check(
+        "kg_canonical_edges (repeat construction): no Python UDF stages "
+        "— reads checkpointed stages",
+        "ArrowEvalPython" not in plan
+        and "BatchEvalPython" not in plan
+        and "ExistingRDD" in plan,
+        plan,
+    )
+
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
