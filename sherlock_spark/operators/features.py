@@ -383,3 +383,190 @@ def rc_classify_from_pretrained(
         .withColumn("model_loads", F.col("res.model_loads"))
         .drop("res")
     )
+
+
+# -- M3: AllenNLP-variant RC annotator seam --------------------------------
+#
+# The reference's AllenNLP RC annotator (allennlp/allennlp_annotator.py,
+# allennlp/allennlp_binary_rc.py) differs from the transformers one in
+# exactly two behaviors — its ``combine`` is the same code (the
+# reference's own comment at allennlp_binary_rc.py:38):
+#
+# 1. model loading: an AllenNLP ARCHIVE — ``from_pretrained`` takes a
+#    serialization dir OR an archive file; a dir resolves to
+#    ``<dir>/model.tar.gz`` and a missing archive raises
+#    (allennlp_annotator.py:57-66);
+# 2. the forward emits PROBABILITIES (``outputs["probs"]``,
+#    allennlp_annotator.py:120) rather than raw logits — argmax is
+#    unchanged, and add_logits attaches the named probability map.
+#
+# Both behaviors are production code here; only ``load_archive`` itself
+# is the container seam (allennlp is not installed), standing behind
+# ``_load_allennlp_bundle`` exactly like the HF paths above.
+
+
+def save_allennlp_archive(
+    path: str,
+    labels: list[str],
+    rule_map: Optional[dict] = None,
+    weights: Optional[dict[str, np.ndarray]] = None,
+) -> str:
+    """Write an AllenNLP-style serialization dir: ``<path>/model.tar.gz``
+    containing config.json, vocabulary/labels.txt (the Vocabulary
+    layout), rc_rules.json, and an opaque weights payload — the layout
+    ``allennlp train`` leaves in a serialization_dir."""
+    import io
+    import tarfile
+
+    os.makedirs(path, exist_ok=True)
+    archive_path = os.path.join(path, "model.tar.gz")
+
+    def add_bytes(tar: tarfile.TarFile, name: str, data: bytes) -> None:
+        info = tarfile.TarInfo(name)
+        info.size = len(data)
+        tar.addfile(info, io.BytesIO(data))
+
+    weights_buf = io.BytesIO()
+    np.savez(
+        weights_buf,
+        **(weights if weights is not None else {"placeholder": np.zeros(1)}),
+    )
+    with tarfile.open(archive_path, "w:gz") as tar:
+        add_bytes(
+            tar,
+            "config.json",
+            json.dumps({"name": "allennlp_binary_rc"}).encode(),
+        )
+        add_bytes(
+            tar,
+            "vocabulary/labels.txt",
+            ("\n".join(labels) + "\n").encode(),
+        )
+        add_bytes(
+            tar,
+            "rc_rules.json",
+            json.dumps(
+                [[list(k), v] for k, v in (rule_map or {}).items()]
+            ).encode(),
+        )
+        add_bytes(tar, "weights.npz", weights_buf.getvalue())
+    return path
+
+
+def resolve_allennlp_archive(archive_file: str) -> str:
+    """Reference path semantics (``allennlp_annotator.py:57-66``): a
+    directory resolves to ``<dir>/model.tar.gz``; a missing archive
+    raises (the reference's ConfigurationError)."""
+    if os.path.isdir(archive_file):
+        archive_file = os.path.join(archive_file, "model.tar.gz")
+    if not os.path.exists(archive_file):
+        raise FileNotFoundError(
+            f"Archive file {archive_file} neither exists as file or dir."
+        )
+    return archive_file
+
+
+def _load_allennlp_bundle(archive_name: str):
+    """Executor-side one-time load of an AllenNLP archive: extract the
+    tar.gz, read vocabulary/labels.txt + rules + weights. THE swap point
+    for a real model — replace the StubRcModel construction with
+    ``allennlp.models.archival.load_archive(local_archive)``."""
+    import tarfile
+    import tempfile
+
+    from sherlock_spark.model_stub import StubRcModel
+
+    cached = _BUNDLE_CACHE.get(archive_name)
+    if cached is None:
+        local_archive = SparkFiles.get(archive_name)
+        if not os.path.exists(local_archive):
+            raise FileNotFoundError(local_archive)
+        extract_dir = tempfile.mkdtemp(prefix="allennlp_archive_")
+        with tarfile.open(local_archive, "r:gz") as tar:
+            tar.extractall(extract_dir, filter="data")
+        with open(os.path.join(extract_dir, "vocabulary", "labels.txt")) as f:
+            labels = [line for line in f.read().splitlines() if line]
+        with open(os.path.join(extract_dir, "rc_rules.json")) as f:
+            rules = {tuple(k): v for k, v in json.load(f)}
+        weights = np.load(os.path.join(extract_dir, "weights.npz"))
+        n_params = int(sum(weights[key].size for key in weights.files))
+        model = StubRcModel(labels, rules or None)
+        BUNDLE_LOADS[archive_name] = BUNDLE_LOADS.get(archive_name, 0) + 1
+        cached = (model, n_params)
+        _BUNDLE_CACHE[archive_name] = cached
+    return cached
+
+
+def rc_classify_from_allennlp_archive(
+    spark: SparkSession,
+    pairs: DataFrame,
+    archive_file: str,
+    ignore_no_relation: bool = True,
+    add_logits: bool = False,
+) -> DataFrame:
+    """M3: binary RC from an AllenNLP archive. Same batch/distribution
+    shape as ``rc_classify_from_pretrained``; the forward emits
+    PROBABILITIES (softmax — the reference model's ``outputs["probs"]``)
+    whose argmax picks ``pred``; ``add_logits`` attaches the named
+    probability map (``allennlp_binary_rc.py:59-65``);
+    ``ignore_no_relation`` drops negative rows like the reference's
+    ``combine``. Adds ``model_loads`` (per-worker bundle-load count,
+    1 after warmup, pinned by tests)."""
+    archive_path = resolve_allennlp_archive(archive_file)
+    spark.sparkContext.addFile(archive_path)
+    archive_name = os.path.basename(archive_path)
+
+    fields = [
+        T.StructField("pred", T.StringType()),
+        T.StructField("model_loads", T.IntegerType()),
+    ]
+    if add_logits:
+        fields.append(
+            T.StructField("probs", T.MapType(T.StringType(), T.DoubleType()))
+        )
+    result_type = T.StructType(fields)
+
+    @F.pandas_udf(result_type)
+    def forward(
+        batches: Iterator[tuple[pd.Series, pd.Series, pd.Series, pd.Series]]
+    ) -> Iterator[pd.DataFrame]:
+        from sherlock_spark.operators import features as _feats
+
+        model, _n_params = _feats._load_allennlp_bundle(archive_name)
+        loads = _feats.BUNDLE_LOADS.get(archive_name, 0)
+        labels_list = model.labels
+        for st, ot, sx, ox in batches:
+            logits = model.forward_pairs(list(zip(st, ot, sx, ox)))
+            # outputs["probs"]: softmax over the label axis
+            shifted = logits - logits.max(axis=1, keepdims=True)
+            exp = np.exp(shifted)
+            probs = exp / exp.sum(axis=1, keepdims=True)
+            idx = probs.argmax(axis=1)
+            out = {
+                "pred": [labels_list[int(i)] for i in idx],
+                "model_loads": [loads] * len(idx),
+            }
+            if add_logits:
+                out["probs"] = [
+                    dict(zip(labels_list, row.tolist())) for row in probs
+                ]
+            yield pd.DataFrame(out)
+
+    out = pairs.withColumn(
+        "res",
+        forward.asNondeterministic()(
+            F.col("subj_type"),
+            F.col("obj_type"),
+            F.col("subj_text"),
+            F.col("obj_text"),
+        ),
+    )
+    out = out.withColumn("pred", F.col("res.pred")).withColumn(
+        "model_loads", F.col("res.model_loads")
+    )
+    if add_logits:
+        out = out.withColumn("probs", F.col("res.probs"))
+    out = out.drop("res")
+    if ignore_no_relation:
+        out = out.filter(F.col("pred") != "no_relation")
+    return out

@@ -166,3 +166,70 @@ def test_queries_and_oracles_keys_match():
     # every oracle is a non-empty SQL string mentioning a SELECT
     for name, sql in oracles.items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+# -- M3: AllenNLP-variant RC annotator seam --------------------------------
+
+
+def test_allennlp_archive_resolution(tmp_path):
+    """Reference path semantics (allennlp_annotator.py:57-66): a dir
+    resolves to <dir>/model.tar.gz; a missing archive raises."""
+    from sherlock_spark.operators.features import (
+        resolve_allennlp_archive,
+        save_allennlp_archive,
+    )
+
+    with pytest.raises(FileNotFoundError):
+        resolve_allennlp_archive(str(tmp_path / "nope"))
+    with pytest.raises(FileNotFoundError):
+        resolve_allennlp_archive(str(tmp_path))  # dir without archive
+
+    save_allennlp_archive(str(tmp_path), FIXTURE_RC_LABELS)
+    by_dir = resolve_allennlp_archive(str(tmp_path))
+    assert by_dir.endswith("model.tar.gz")
+    assert resolve_allennlp_archive(by_dir) == by_dir
+
+
+def test_allennlp_rc_probs_and_one_load(spark, tmp_path):
+    """M3 forward emits probabilities (softmax; reference
+    outputs['probs']), argmax matches the stub path, no_relation rows
+    are dropped by default, and the archive loads once per worker."""
+    import numpy as np
+
+    from sherlock_spark.operators.features import (
+        rc_classify_from_allennlp_archive,
+        save_allennlp_archive,
+    )
+
+    archive_dir = str(tmp_path / "allennlp_model")
+    rng = np.random.default_rng(3)
+    save_allennlp_archive(
+        archive_dir,
+        FIXTURE_RC_LABELS,
+        rule_map=FIXTURE_RC_RULES,
+        weights={"w": rng.normal(size=(256, 128)).astype(np.float32)},
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            ("PERSON", "TITLE", "Douglas Flint", "chairman"),
+            ("PERSON", "CITY", "Montcourt", "PARIS"),
+            ("PERSON", "PERSON", "Douglas Flint", "Stephen Green"),
+        ]
+        * 16,
+        "subj_type string, obj_type string, subj_text string, obj_text string",
+    ).repartition(8)
+
+    out = rc_classify_from_allennlp_archive(
+        spark, pairs, archive_dir, ignore_no_relation=True, add_logits=True
+    ).collect()
+    assert out and max(r.model_loads for r in out) == 1
+    # ignore_no_relation drops the (PERSON, PERSON) no_relation rows
+    preds = {(r.subj_type, r.obj_type): r.pred for r in out}
+    assert ("PERSON", "PERSON") not in preds
+    assert preds[("PERSON", "TITLE")] == "per:title"
+    assert preds[("PERSON", "CITY")] == FIXTURE_RC_RULES[("PERSON", "CITY")]
+    for r in out:
+        total = sum(r.probs.values())
+        assert abs(total - 1.0) < 1e-9  # a probability distribution
+        assert max(r.probs, key=r.probs.get) == r.pred
