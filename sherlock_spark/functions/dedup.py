@@ -172,20 +172,22 @@ def minhash_signatures(documents: DataFrame, n_hashes: int = 32, shingle_n: int 
     )
 
 
-def minhash_lsh_candidates(
+def minhash_band_buckets(
     documents: DataFrame,
     n_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
-    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing >= 1 LSH band bucket.
-    rows-per-band r = n_hashes / bands; P(candidate) = 1-(1-J^r)^bands.
-    ``max_bucket_size`` bounds hot-bucket pair blowup (see cap_buckets).
+    """(doc_id, band, bucket): the corpus's LSH band-bucket table —
+    signatures split into ``bands`` md5-compressed buckets. This is the
+    expensive, corpus-only part of the dedup (shingle explode + 32
+    min-hash aggregates); it depends on nothing but the corpus, so
+    callers running repeated/incremental dedup materialize it once
+    (stage registry / checkpoint table) and re-join against it.
     """
     rows_per_band = n_hashes // bands
     signatures = minhash_signatures(documents, n_hashes, shingle_n)
-    banded = signatures.select(
+    return signatures.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -203,6 +205,26 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("band", "bucket"),
+    )
+
+
+def minhash_lsh_candidates(
+    documents: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+    band_buckets: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >= 1 LSH band bucket.
+    rows-per-band r = n_hashes / bands; P(candidate) = 1-(1-J^r)^bands.
+    ``max_bucket_size`` bounds hot-bucket pair blowup (see cap_buckets).
+    ``band_buckets`` injects a precomputed (materialized) bucket table.
+    """
+    banded = (
+        band_buckets
+        if band_buckets is not None
+        else minhash_band_buckets(documents, n_hashes, bands, shingle_n)
     )
     banded = cap_buckets(banded, max_bucket_size)
     left = banded.alias("l")
@@ -228,16 +250,21 @@ def minhash_dedup_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     max_bucket_size: int | None = None,
+    band_buckets: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard — the scale path for
     near-dup detection (candidate fanout bounded by band buckets, not by
     shared-shingle frequency; hot buckets additionally bounded by
-    ``max_bucket_size``).
+    ``max_bucket_size``). ``band_buckets``/``shingles`` inject
+    precomputed corpus-only tables (incremental/repeated dedup reuses
+    both; only the candidate join + verify re-run).
     """
     candidates = minhash_lsh_candidates(
-        documents, n_hashes, bands, shingle_n, max_bucket_size
+        documents, n_hashes, bands, shingle_n, max_bucket_size, band_buckets
     )
-    shingles = word_shingles(documents, shingle_n).cache()
+    if shingles is None:
+        shingles = word_shingles(documents, shingle_n).cache()
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     # exact intersection sizes, but only over LSH candidate pairs. The
     # per-pair shingle match is an explicit equi-join key (doc_b AND
