@@ -457,6 +457,7 @@ def extract_triples(
     ignore_no_relation: bool = True,
     add_logits: bool = False,
     ner_labels: Optional[list[str]] = None,
+    dedup_model_inputs: bool = False,
 ) -> DataFrame:
     """annotated (conv_id, turn_idx, words, ments, ...) -> triples table.
 
@@ -465,6 +466,17 @@ def extract_triples(
 
     Default path (mark_entity family): feature bookkeeping JVM-side +
     model-only pandas UDF. Mask strategies use the full-conversion UDF.
+
+    ``dedup_model_inputs`` (inference caching): forward the model over
+    DISTINCT (subj_type, obj_type, subj_text, obj_text) keys only and
+    join predictions back — results are identical (the model is a pure
+    function of those four fields), but forward cost scales with
+    distinct inputs instead of total pairs. A deliberate knob, off by
+    default: on corpora with heavy text repetition (agent transcripts
+    re-asking the same questions, boilerplate) the win is proportional
+    to the repetition factor; on high-cardinality corpora the extra
+    distinct shuffle buys nothing. The join back is AQE-managed (the
+    prediction table broadcasts when small).
     """
     # append_ner needs the NER label set for mask piece counts; without
     # it the legacy full-conversion UDF path is used instead
@@ -590,18 +602,27 @@ def extract_triples(
         # one task per core a single straggler (shared-host noise, skewed
         # Arrow batch) stalls the stage; finer tasks rebalance.
         n_parts = spark.sparkContext.defaultParallelism * 4
-        pairs = pairs.repartition(n_parts)
-
         model = rc_model_udf(spark, labels, rule_map, add_logits)
-        classified = pairs.withColumn(
-            "rc",
-            model(
-                F.col("subj_type"),
-                F.col("obj_type"),
-                F.col("subj_text"),
-                F.col("obj_text"),
-            ),
-        )
+        model_keys = ["subj_type", "obj_type", "subj_text", "obj_text"]
+        if dedup_model_inputs:
+            # forward distinct keys only; the distinct's hash exchange
+            # replaces the round-robin rebalance (it already spreads
+            # keys uniformly), and the prediction join back broadcasts
+            # under AQE when the distinct table is small
+            keys = (
+                pairs.select(*model_keys)
+                .distinct()
+                .repartition(n_parts)
+            )
+            preds = keys.withColumn(
+                "rc", model(*[F.col(k) for k in model_keys])
+            )
+            classified = pairs.join(preds, model_keys, "left")
+        else:
+            pairs = pairs.repartition(n_parts)
+            classified = pairs.withColumn(
+                "rc", model(*[F.col(k) for k in model_keys])
+            )
         result = classified.filter(F.col("rc.label").isNotNull())
         if ignore_no_relation:
             result = result.filter(F.col("rc.label") != "no_relation")

@@ -233,3 +233,33 @@ def test_allennlp_rc_probs_and_one_load(spark, tmp_path):
         total = sum(r.probs.values())
         assert abs(total - 1.0) < 1e-9  # a probability distribution
         assert max(r.probs, key=r.probs.get) == r.pred
+
+
+def test_dedup_model_inputs_identical_results(spark):
+    """Inference-input dedup (distinct -> forward -> join back) returns
+    EXACTLY the per-pair-forward results — the model is a pure function
+    of the four key fields."""
+    from sherlock_spark.operators.ner import annotate_mentions
+    from sherlock_spark.operators.rc import extract_triples
+    from sherlock_spark.sources.transcripts import synth_transcripts_from_fixtures
+
+    t = synth_transcripts_from_fixtures(spark, n_convs=6, turns_per_conv=10)
+    ann = annotate_mentions(spark, t, FIXTURE_NER_LEXICON)
+    kwargs = dict(
+        entity_handling="mark_entity", max_length=None, max_mentions=16,
+        ignore_no_relation=False,
+    )
+    base = extract_triples(
+        spark, ann, FIXTURE_RC_LABELS, FIXTURE_RC_RULES, **kwargs
+    )
+    deduped = extract_triples(
+        spark, ann, FIXTURE_RC_LABELS, FIXTURE_RC_RULES,
+        dedup_model_inputs=True, **kwargs
+    )
+    cols = [
+        "conv_id", "turn_idx", "head_idx", "tail_idx",
+        "subj_text", "subj_type", "pred", "obj_text", "obj_type",
+    ]
+    a = sorted(map(tuple, base.select(*cols).collect()))
+    b = sorted(map(tuple, deduped.select(*cols).collect()))
+    assert a == b and len(a) > 0
