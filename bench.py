@@ -46,9 +46,10 @@ def main() -> None:
     # measured query doesn't pay session spin-up
     spark.range(1000).count()
 
-    def timed(run) -> tuple[float, int]:
-        """One warmup run (discarded), then min-of-2 — the SAME protocol
-        for every query.
+    def timed(run) -> tuple[float, float, int]:
+        """One warmup run (timed, reported as the cold number, excluded
+        from the steady-state min), then min-of-2 — the SAME protocol
+        for every query. Returns (best_warm, cold, row_count).
 
         Warmup: a fresh JVM spends tens of seconds on first evaluation
         of the UDF-heavy plans (C2 JIT of interpreted expression eval,

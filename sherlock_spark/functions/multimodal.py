@@ -68,7 +68,15 @@ def pil_image_decoder(side: int = 4):
     from PIL import Image  # raises ImportError when PIL is absent
 
     def decode(payload: bytes) -> np.ndarray:
-        image = Image.open(io.BytesIO(payload)).convert("L").resize((side, side))
+        # the media table mixes kinds (image/audio/video) and payloads
+        # may be null or non-image bytes; anything PIL cannot identify
+        # falls back to the stub feature instead of failing the task
+        try:
+            image = (
+                Image.open(io.BytesIO(payload)).convert("L").resize((side, side))
+            )
+        except Exception:
+            return _decode_image_bytes(payload)
         vec = np.asarray(image, dtype=np.float64).reshape(-1)
         norm = float(np.linalg.norm(vec)) or 1.0
         return vec / norm

@@ -173,8 +173,15 @@ def distribute_pretrained(spark: SparkSession, path: str) -> str:
     try:
         spark.sparkContext.addFile(path, recursive=True)
     except Exception as exc:
-        message = str(exc)
-        if "already" not in message.lower() and "exists" not in message.lower():
+        message = str(exc).lower()
+        # benign: re-adding the SAME path. Dangerous and re-raised:
+        # "already registered with a different path" — a second model
+        # dir sharing a basename would otherwise silently resolve to
+        # the FIRST model's files on executors.
+        benign = (
+            "already" in message or "exists" in message
+        ) and "different" not in message
+        if not benign:
             raise
     return name
 
@@ -512,9 +519,31 @@ def rc_classify_from_allennlp_archive(
     ``ignore_no_relation`` drops negative rows like the reference's
     ``combine``. Adds ``model_loads`` (per-worker bundle-load count,
     1 after warmup, pinned by tests)."""
+    # Every archive resolves to the basename "model.tar.gz", and Spark
+    # registers files by basename — two different archives in one
+    # session would collide in addFile AND in the worker-side caches.
+    # Ship under a name derived from the archive's absolute path.
+    import hashlib
+    import shutil
+    import tempfile
+
     archive_path = resolve_allennlp_archive(archive_file)
-    spark.sparkContext.addFile(archive_path)
-    archive_name = os.path.basename(archive_path)
+    digest = hashlib.md5(
+        os.path.abspath(archive_path).encode()
+    ).hexdigest()[:12]
+    archive_name = f"allennlp-model-{digest}.tar.gz"
+    shipped = os.path.join(tempfile.gettempdir(), archive_name)
+    if not os.path.exists(shipped):
+        shutil.copyfile(archive_path, shipped)
+    try:
+        spark.sparkContext.addFile(shipped)
+    except Exception as exc:
+        message = str(exc).lower()
+        benign = (
+            "already" in message or "exists" in message
+        ) and "different" not in message
+        if not benign:
+            raise
 
     fields = [
         T.StructField("pred", T.StringType()),

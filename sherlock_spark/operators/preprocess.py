@@ -86,6 +86,10 @@ RELATION_ENTITY_TYPES: dict[str, tuple[str, str]] = {
     "per:composer": ("PERSON", "WORK_OF_ART"),
     "loc:country": ("LOC", "LOC"),
     "per:creator": ("PERSON", "WORK_OF_ART"),
+    # the reference keys ONLY per:developer (add_ner_annotation.py:140);
+    # org:developer — the label the shared RELATION_TYPES space and the
+    # docred converter actually produce — has no branch there, so it
+    # takes the keep-incoming fall-through on both engines by design
     "per:developer": ("PERSON", "WORK_OF_ART"),
     "org:dissolved": ("ORG", "DATE"),
     "per:field_of_work": ("PERSON", "MISC"),

@@ -58,9 +58,22 @@ def config_hash(*parts) -> str:
     ).hexdigest()
 
 
+def _evict_dead_sessions(registry: dict, app_id: str) -> None:
+    """Drop entries from stopped sessions. Sessions in one driver are
+    serial (getOrCreate reuses the live one), so any entry under a
+    different applicationId references a dead context — holding its
+    UDF closures/broadcasts/checkpointed RDDs would leak driver memory
+    in long-lived processes that restart sessions."""
+    dead = [key for key in registry if key[0] != app_id]
+    for key in dead:
+        del registry[key]
+
+
 def memoized_udf(spark: SparkSession, key: str, build: Callable):
     """Return the session's UDF instance for ``key``, building once."""
-    full_key = (spark.sparkContext.applicationId, key)
+    app_id = spark.sparkContext.applicationId
+    _evict_dead_sessions(_UDF_INSTANCES, app_id)
+    full_key = (app_id, key)
     instance = _UDF_INSTANCES.get(full_key)
     if instance is None:
         instance = build()
@@ -76,7 +89,9 @@ def stage(
     The checkpoint cuts lineage, so downstream plans over the stage are
     small and later invocations never re-run the stage's UDFs.
     """
-    full_key = (spark.sparkContext.applicationId, key)
+    app_id = spark.sparkContext.applicationId
+    _evict_dead_sessions(_STAGE_CACHE, app_id)
+    full_key = (app_id, key)
     df = _STAGE_CACHE.get(full_key)
     if df is None:
         df = build().localCheckpoint(eager=True)

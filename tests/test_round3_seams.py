@@ -263,3 +263,35 @@ def test_dedup_model_inputs_identical_results(spark):
     a = sorted(map(tuple, base.select(*cols).collect()))
     b = sorted(map(tuple, deduped.select(*cols).collect()))
     assert a == b and len(a) > 0
+
+
+def test_allennlp_two_archives_no_collision(spark, tmp_path):
+    """Two DIFFERENT archives in one session must not collide: every
+    archive ships under a path-derived name, so the second one's
+    predictions come from its own rules (the constant model.tar.gz
+    basename previously collided in addFile and the worker caches)."""
+    from sherlock_spark.operators.features import (
+        rc_classify_from_allennlp_archive,
+        save_allennlp_archive,
+    )
+
+    a_dir = str(tmp_path / "model_a")
+    b_dir = str(tmp_path / "model_b")
+    save_allennlp_archive(
+        a_dir, FIXTURE_RC_LABELS, rule_map={("PERSON", "TITLE"): "per:title"}
+    )
+    save_allennlp_archive(
+        b_dir,
+        FIXTURE_RC_LABELS,
+        rule_map={("PERSON", "TITLE"): "per:parents"},
+    )
+
+    pairs = spark.createDataFrame(
+        [("PERSON", "TITLE", "Douglas Flint", "chairman")] * 8,
+        "subj_type string, obj_type string, subj_text string, obj_text string",
+    ).repartition(4)
+
+    out_a = rc_classify_from_allennlp_archive(spark, pairs, a_dir).collect()
+    out_b = rc_classify_from_allennlp_archive(spark, pairs, b_dir).collect()
+    assert {r.pred for r in out_a} == {"per:title"}
+    assert {r.pred for r in out_b} == {"per:parents"}
