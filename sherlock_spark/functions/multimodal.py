@@ -68,15 +68,10 @@ def pil_image_decoder(side: int = 4):
     from PIL import Image  # raises ImportError when PIL is absent
 
     def decode(payload: bytes) -> np.ndarray:
-        # the media table mixes kinds (image/audio/video) and payloads
-        # may be null or non-image bytes; anything PIL cannot identify
-        # falls back to the stub feature instead of failing the task
-        try:
-            image = (
-                Image.open(io.BytesIO(payload)).convert("L").resize((side, side))
-            )
-        except Exception:
-            return _decode_image_bytes(payload)
+        # only image-kind rows reach this decoder (kind dispatch in
+        # extract_media_features); a genuinely corrupt image payload
+        # should FAIL the task visibly, not silently hash-feature it
+        image = Image.open(io.BytesIO(payload)).convert("L").resize((side, side))
         vec = np.asarray(image, dtype=np.float64).reshape(-1)
         norm = float(np.linalg.norm(vec)) or 1.0
         return vec / norm
@@ -116,11 +111,21 @@ def extract_media_features(
             features = []
             hashes = []
             sizes = []
-            for payload in pdf["payload"]:
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 data = bytes(payload) if payload is not None else b""
                 sizes.append(len(data))
                 hashes.append(hashlib.md5(data).hexdigest())
-                features.append(decoder(data).tolist())
+                # kind dispatch: the decoder is an IMAGE decoder; audio/
+                # video (and empty payloads) take the deterministic stub
+                # so a real PIL install never feeds non-image bytes to
+                # Image.open — and never silently mixes pixel features
+                # with hash features within the image kind (a corrupt
+                # image raises in the decoder instead)
+                if kind == "image" and data:
+                    vec = decoder(data)
+                else:
+                    vec = _decode_image_bytes(data)
+                features.append(vec.tolist())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -161,28 +161,37 @@ def save_pretrained_dir(
     return path
 
 
+def _add_file_tolerating_readd(
+    spark: SparkSession, path: str, recursive: bool = False
+) -> None:
+    """``addFile`` that suppresses ONLY the benign re-add of the same
+    content. Spark's collision error for a same-basename but
+    DIFFERENT-content registration is "...exists and does not match
+    contents of..." (verified against this Spark install) — that case
+    re-raises, because swallowing it would leave executors silently
+    resolving the FIRST registration's files."""
+    try:
+        spark.sparkContext.addFile(path, recursive=recursive)
+    except Exception as exc:
+        message = str(exc).lower()
+        conflicting = "does not match" in message or "different" in message
+        benign = (
+            "already" in message or "exists" in message
+        ) and not conflicting
+        if not benign:
+            raise
+
+
 def distribute_pretrained(spark: SparkSession, path: str) -> str:
     """Ship the model directory to executors via SparkFiles; returns the
     bundle name workers resolve with ``SparkFiles.get``. Idempotent per
-    session (Spark rejects re-adding the same path; only that error is
-    suppressed — a genuinely failed distribution raises here, at the
-    cause, not later inside executor tasks)."""
+    session for the same content; a second, different directory sharing
+    the basename raises here, at the cause, not later inside executor
+    tasks."""
     if not os.path.isdir(path):
         raise FileNotFoundError(f"pretrained model dir not found: {path}")
     name = os.path.basename(os.path.normpath(path))
-    try:
-        spark.sparkContext.addFile(path, recursive=True)
-    except Exception as exc:
-        message = str(exc).lower()
-        # benign: re-adding the SAME path. Dangerous and re-raised:
-        # "already registered with a different path" — a second model
-        # dir sharing a basename would otherwise silently resolve to
-        # the FIRST model's files on executors.
-        benign = (
-            "already" in message or "exists" in message
-        ) and "different" not in message
-        if not benign:
-            raise
+    _add_file_tolerating_readd(spark, path, recursive=True)
     return name
 
 
@@ -522,28 +531,30 @@ def rc_classify_from_allennlp_archive(
     # Every archive resolves to the basename "model.tar.gz", and Spark
     # registers files by basename — two different archives in one
     # session would collide in addFile AND in the worker-side caches.
-    # Ship under a name derived from the archive's absolute path.
+    # Ship under a name derived from the archive's CONTENT (not its
+    # path: a retrained archive at the same path must not be served
+    # stale from the shipped cache), written atomically so concurrent
+    # drivers never register a half-copied tar.
     import hashlib
     import shutil
     import tempfile
 
     archive_path = resolve_allennlp_archive(archive_file)
-    digest = hashlib.md5(
-        os.path.abspath(archive_path).encode()
-    ).hexdigest()[:12]
+    hasher = hashlib.md5()
+    with open(archive_path, "rb") as handle:
+        for chunk in iter(lambda: handle.read(1 << 20), b""):
+            hasher.update(chunk)
+    digest = hasher.hexdigest()[:16]
     archive_name = f"allennlp-model-{digest}.tar.gz"
     shipped = os.path.join(tempfile.gettempdir(), archive_name)
     if not os.path.exists(shipped):
-        shutil.copyfile(archive_path, shipped)
-    try:
-        spark.sparkContext.addFile(shipped)
-    except Exception as exc:
-        message = str(exc).lower()
-        benign = (
-            "already" in message or "exists" in message
-        ) and "different" not in message
-        if not benign:
-            raise
+        fd, partial = tempfile.mkstemp(
+            dir=tempfile.gettempdir(), suffix=".tar.gz.partial"
+        )
+        os.close(fd)
+        shutil.copyfile(archive_path, partial)
+        os.replace(partial, shipped)  # atomic: full content or nothing
+    _add_file_tolerating_readd(spark, shipped)
 
     fields = [
         T.StructField("pred", T.StringType()),

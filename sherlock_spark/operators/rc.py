@@ -605,19 +605,35 @@ def extract_triples(
         model = rc_model_udf(spark, labels, rule_map, add_logits)
         model_keys = ["subj_type", "obj_type", "subj_text", "obj_text"]
         if dedup_model_inputs:
-            # forward distinct keys only; the distinct's hash exchange
-            # replaces the round-robin rebalance (it already spreads
-            # keys uniformly), and the prediction join back broadcasts
-            # under AQE when the distinct table is small
+            # pairs feeds BOTH the distinct (building preds) and the
+            # probe side of the join — persist it so the NER UDF and
+            # pair explosion upstream run once, not twice (the two
+            # subtrees share the same DataFrame, hence one cached scan)
+            pairs = pairs.persist()
+            # one hash exchange on the model keys serves both the
+            # dedup and the model-stage spread (no separate round-robin
+            # rebalance: the keys are already uniform after hashing)
             keys = (
                 pairs.select(*model_keys)
-                .distinct()
-                .repartition(n_parts)
+                .repartition(n_parts, *model_keys)
+                .dropDuplicates()
             )
             preds = keys.withColumn(
                 "rc", model(*[F.col(k) for k in model_keys])
             )
-            classified = pairs.join(preds, model_keys, "left")
+            # null-safe join keys: a NULL in any key column must match
+            # its own prediction row exactly like the per-pair path
+            # feeds it through the UDF — a plain equi-join would drop
+            # it. Aliased (preds derives from pairs — a self-join).
+            left = pairs.alias("p")
+            right = preds.alias("d")
+            cond = [
+                F.col(f"p.{k}").eqNullSafe(F.col(f"d.{k}"))
+                for k in model_keys
+            ]
+            classified = left.join(right, cond, "left").select(
+                *[F.col(f"p.{c}") for c in pairs.columns], F.col("d.rc")
+            )
         else:
             pairs = pairs.repartition(n_parts)
             classified = pairs.withColumn(

@@ -295,3 +295,25 @@ def test_allennlp_two_archives_no_collision(spark, tmp_path):
     out_b = rc_classify_from_allennlp_archive(spark, pairs, b_dir).collect()
     assert {r.pred for r in out_a} == {"per:title"}
     assert {r.pred for r in out_b} == {"per:parents"}
+
+
+def test_distribute_pretrained_conflicting_basename_raises(spark, tmp_path):
+    """Two DIFFERENT model dirs sharing a basename must raise at the
+    distribution site (Spark's actual collision error text is
+    '...exists and does not match contents of...'), never silently
+    serve the first model's files for the second pipeline."""
+    from sherlock_spark.operators.features import (
+        distribute_pretrained,
+        save_rc_pretrained_dir,
+    )
+
+    a = tmp_path / "site_a" / "rc_conflict_model"
+    b = tmp_path / "site_b" / "rc_conflict_model"
+    save_rc_pretrained_dir(str(a), FIXTURE_RC_LABELS)
+    save_rc_pretrained_dir(str(b), ["no_relation", "per:other"])
+
+    assert distribute_pretrained(spark, str(a)) == "rc_conflict_model"
+    # same path again: benign, no raise
+    assert distribute_pretrained(spark, str(a)) == "rc_conflict_model"
+    with pytest.raises(Exception):
+        distribute_pretrained(spark, str(b))
