@@ -182,16 +182,38 @@ def _add_file_tolerating_readd(
             raise
 
 
+# (applicationId, bundle name) -> source abspath already shipped.
+# The conflict check MUST happen driver-side BEFORE sc.addFile: once a
+# conflicting registration reaches Spark, every subsequent task's
+# dependency fetch retries it and fails — the session is poisoned, not
+# just the one call (observed: one bad addFile failed every later job).
+_DISTRIBUTED: dict[tuple[str, str], str] = {}
+
+
 def distribute_pretrained(spark: SparkSession, path: str) -> str:
     """Ship the model directory to executors via SparkFiles; returns the
     bundle name workers resolve with ``SparkFiles.get``. Idempotent per
-    session for the same content; a second, different directory sharing
-    the basename raises here, at the cause, not later inside executor
-    tasks."""
+    session for the same source path; a second, DIFFERENT directory
+    sharing the basename raises here, at the cause, without ever
+    reaching Spark (a rejected addFile would poison the session's
+    dependency fetch for every later task)."""
     if not os.path.isdir(path):
         raise FileNotFoundError(f"pretrained model dir not found: {path}")
     name = os.path.basename(os.path.normpath(path))
+    norm = os.path.abspath(path)
+    key = (spark.sparkContext.applicationId, name)
+    prior = _DISTRIBUTED.get(key)
+    if prior == norm:
+        return name  # already shipped from this source
+    if prior is not None:
+        raise ValueError(
+            f"model bundle name '{name}' was already distributed from "
+            f"{prior}; shipping {norm} under the same name would make "
+            f"executors silently resolve the first bundle — rename the "
+            f"directory or use one session per bundle name"
+        )
     _add_file_tolerating_readd(spark, path, recursive=True)
+    _DISTRIBUTED[key] = norm
     return name
 
 

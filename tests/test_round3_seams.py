@@ -315,5 +315,10 @@ def test_distribute_pretrained_conflicting_basename_raises(spark, tmp_path):
     assert distribute_pretrained(spark, str(a)) == "rc_conflict_model"
     # same path again: benign, no raise
     assert distribute_pretrained(spark, str(a)) == "rc_conflict_model"
-    with pytest.raises(Exception):
+    with pytest.raises(ValueError):
         distribute_pretrained(spark, str(b))
+    # CRITICAL: the conflict must be rejected driver-side BEFORE
+    # reaching sc.addFile — a rejected Spark registration poisons the
+    # session's dependency fetch for every subsequent task. Prove the
+    # session still runs jobs after the raise:
+    assert spark.range(100).count() == 100
