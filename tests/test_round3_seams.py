@@ -322,3 +322,21 @@ def test_distribute_pretrained_conflicting_basename_raises(spark, tmp_path):
     # session's dependency fetch for every subsequent task. Prove the
     # session still runs jobs after the raise:
     assert spark.range(100).count() == 100
+
+
+def test_registry_evicts_dead_session_entries(spark):
+    """Entries keyed by a stopped session's applicationId are dropped on
+    the next access — long-lived drivers that restart sessions must not
+    accumulate dead UDF closures / checkpointed-DataFrame references."""
+    from sherlock_spark import udfcache
+
+    udfcache._STAGE_CACHE[("dead-app-123", ("x",))] = "sentinel"
+    udfcache._UDF_INSTANCES[("dead-app-123", "y")] = "sentinel"
+
+    stage(spark, ("evict-probe",), lambda: spark.range(3))
+    assert ("dead-app-123", ("x",)) not in udfcache._STAGE_CACHE
+
+    from sherlock_spark.operators.ner import ner_ments_udf
+
+    ner_ments_udf(spark, {"probe": "B-X"})
+    assert ("dead-app-123", "y") not in udfcache._UDF_INSTANCES
