@@ -42,7 +42,11 @@ from sherlock_spark.model_stub import StubNerModel
 from sherlock_spark.text.bert_like import BertLikeTokenizer
 from sherlock_spark.text.spans import bio_tags_to_spans, spans_to_exclusive_sorted
 from sherlock_spark.text.token_clf import TokenClassificationConverter
-from sherlock_spark.udfcache import config_hash, memoized_udf
+from sherlock_spark.udfcache import (
+    _evict_dead_sessions,
+    config_hash,
+    memoized_udf,
+)
 
 NER_FEATURES_TYPE = T.StructType(
     [
@@ -182,38 +186,74 @@ def _add_file_tolerating_readd(
             raise
 
 
-# (applicationId, bundle name) -> source abspath already shipped.
-# The conflict check MUST happen driver-side BEFORE sc.addFile: once a
-# conflicting registration reaches Spark, every subsequent task's
-# dependency fetch retries it and fails — the session is poisoned, not
-# just the one call (observed: one bad addFile failed every later job).
-_DISTRIBUTED: dict[tuple[str, str], str] = {}
+# (applicationId, bundle name) -> (source abspath, content digest)
+# already shipped. The conflict check MUST happen driver-side BEFORE
+# sc.addFile: once a conflicting registration reaches Spark, every
+# subsequent task's dependency fetch retries it and fails — the session
+# is poisoned, not just the one call (observed: one bad addFile failed
+# every later job).
+_DISTRIBUTED: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _dir_digest(path: str) -> str:
+    """Cheap stat-based content digest of a model directory: md5 over
+    sorted (relpath, size, mtime_ns) triples. Detects a retrain-in-place
+    (same path, new weights) without reading gigabytes of tensors; a
+    byte-identical rewrite with refreshed mtimes changes the digest,
+    which errs on the safe (loud) side."""
+    import hashlib
+
+    hasher = hashlib.md5()
+    for root, dirs, files in sorted(os.walk(path)):
+        dirs.sort()
+        for name in sorted(files):
+            full = os.path.join(root, name)
+            stat = os.stat(full)
+            rel = os.path.relpath(full, path)
+            hasher.update(
+                f"{rel}|{stat.st_size}|{stat.st_mtime_ns}\n".encode()
+            )
+    return hasher.hexdigest()
 
 
 def distribute_pretrained(spark: SparkSession, path: str) -> str:
     """Ship the model directory to executors via SparkFiles; returns the
     bundle name workers resolve with ``SparkFiles.get``. Idempotent per
-    session for the same source path; a second, DIFFERENT directory
-    sharing the basename raises here, at the cause, without ever
-    reaching Spark (a rejected addFile would poison the session's
-    dependency fetch for every later task)."""
+    session for the same source path AND content; a second, DIFFERENT
+    directory sharing the basename — or the same directory retrained in
+    place (content digest changed) — raises here, at the cause, without
+    ever reaching Spark (a rejected addFile would poison the session's
+    dependency fetch for every later task, and executors would silently
+    keep serving the first-shipped weights)."""
     if not os.path.isdir(path):
         raise FileNotFoundError(f"pretrained model dir not found: {path}")
     name = os.path.basename(os.path.normpath(path))
     norm = os.path.abspath(path)
-    key = (spark.sparkContext.applicationId, name)
+    digest = _dir_digest(norm)
+    app_id = spark.sparkContext.applicationId
+    # entries from stopped sessions reference dead contexts — same
+    # eviction discipline as the udfcache registries
+    _evict_dead_sessions(_DISTRIBUTED, app_id)
+    key = (app_id, name)
     prior = _DISTRIBUTED.get(key)
-    if prior == norm:
-        return name  # already shipped from this source
+    if prior == (norm, digest):
+        return name  # already shipped from this source, same content
     if prior is not None:
+        prior_path, _prior_digest = prior
+        detail = (
+            "its content has changed since it was shipped (retrained in "
+            "place?)"
+            if prior_path == norm
+            else f"it was already distributed from {prior_path}"
+        )
         raise ValueError(
-            f"model bundle name '{name}' was already distributed from "
-            f"{prior}; shipping {norm} under the same name would make "
-            f"executors silently resolve the first bundle — rename the "
-            f"directory or use one session per bundle name"
+            f"model bundle name '{name}': {detail}; shipping {norm} "
+            f"under the same name would make executors silently resolve "
+            f"the first-shipped bundle — rename the directory (or use a "
+            f"fresh session) so the new content gets its own name"
         )
     _add_file_tolerating_readd(spark, path, recursive=True)
-    _DISTRIBUTED[key] = norm
+    _DISTRIBUTED[key] = (norm, digest)
     return name
 
 
@@ -521,7 +561,13 @@ def _load_allennlp_bundle(archive_name: str):
             raise FileNotFoundError(local_archive)
         extract_dir = tempfile.mkdtemp(prefix="allennlp_archive_")
         with tarfile.open(local_archive, "r:gz") as tar:
-            tar.extractall(extract_dir, filter="data")
+            try:
+                tar.extractall(extract_dir, filter="data")
+            except TypeError:
+                # pre-backport Python patch releases (<3.11.4 etc.) lack
+                # the filter parameter; the archive is our own content
+                # (shipped by this driver), so plain extract is safe
+                tar.extractall(extract_dir)
         with open(os.path.join(extract_dir, "vocabulary", "labels.txt")) as f:
             labels = [line for line in f.read().splitlines() if line]
         with open(os.path.join(extract_dir, "rc_rules.json")) as f:

@@ -606,10 +606,18 @@ def extract_triples(
         model_keys = ["subj_type", "obj_type", "subj_text", "obj_text"]
         if dedup_model_inputs:
             # pairs feeds BOTH the distinct (building preds) and the
-            # probe side of the join — persist it so the NER UDF and
-            # pair explosion upstream run once, not twice (the two
-            # subtrees share the same DataFrame, hence one cached scan)
-            pairs = pairs.persist()
+            # probe side of the join — materialize it once so the NER
+            # UDF and pair explosion upstream run once, not twice.
+            # localCheckpoint, NOT persist(): persist registers the plan
+            # in the session CacheManager, which holds it for the
+            # session's lifetime unless explicitly unpersisted — every
+            # invocation would pin another cached DataFrame in executor
+            # memory. Checkpoint blocks are owned by the RDD and
+            # reclaimed by the ContextCleaner when the returned
+            # DataFrame goes out of scope. Eager: this runs the
+            # upstream job at construction time (same contract as the
+            # stage registry).
+            pairs = pairs.localCheckpoint(eager=True)
             # one hash exchange on the model keys serves both the
             # dedup and the model-stage spread (no separate round-robin
             # rebalance: the keys are already uniform after hashing)

@@ -270,6 +270,36 @@ SQL_KG_TRIPLES = f"""
 """
 
 
+def q_kg_triples_dedup_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kg_triples with the inference-cache knob on: the model forward
+    runs over DISTINCT (subj_type, obj_type, subj_text, obj_text) keys
+    only and predictions join back null-safely (``rc.py
+    extract_triples(dedup_model_inputs=True)``). Must hash-match the
+    per-pair path's oracle exactly — the knob changes forward cost, not
+    results."""
+    triples = extract_triples(
+        spark,
+        _annotated(spark, sf_dir),
+        labels=DEFAULT_RC_LABELS,
+        rule_map=None,
+        entity_handling="mark_entity",
+        max_length=None,
+        max_mentions=MAX_MENTIONS,
+        dedup_model_inputs=True,
+    )
+    return triples.select(
+        "conv_id",
+        F.col("turn_idx").cast("long"),
+        F.col("head_idx").cast("long"),
+        F.col("tail_idx").cast("long"),
+        "subj_text",
+        "subj_type",
+        "pred",
+        "obj_text",
+        "obj_type",
+    )
+
+
 def q_kg_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     alias_df = make_alias_df(spark, CANON_ALIASES)
     links = linked_mentions(_annotated(spark, sf_dir), alias_df)
@@ -1127,6 +1157,17 @@ SQL_SIM_LSH_TOPK = f"""
 # (cos vs original ~0.9999). Both engines build the identical corpus,
 # replay the identical hyperplane buckets, and verify with exact
 # cosine, so the compare is deterministic regardless of LSH recall.
+#
+# CAVEAT (same class as SQL_DEDUP_MINHASH's): "identical buckets"
+# assumes Spark's in-order array aggregate and DuckDB's unordered SUM
+# agree on the SIGN of every plane dot. Float association differs by
+# ~1e-13 relative, so a dot within ~1e-12 of 0.0 could bucket
+# differently across engines and flake the set-equality gate. Dots here
+# are O(1)-scaled sums of 64 products, so P(any of the ~50k dots lands
+# that close to 0) is ~1e-8 per regenerated corpus — accepted. If a
+# regenerated corpus ever flakes, gate on the recall fraction of
+# planted clone pairs instead of set equality (the clones sit at
+# cos ~0.9999, far from any boundary).
 
 _EMB_CLONE_OFFSET = 100_000
 _EMB_CLONE_STEP = 5
@@ -1442,6 +1483,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_mentions": q_kg_mentions,
     "kg_pairs": q_kg_pairs,
     "kg_triples": q_kg_triples,
+    "kg_triples_dedup_inputs": q_kg_triples_dedup_inputs,
     "kg_links": q_kg_links,
     "kg_canonical_edges": q_kg_canonical_edges,
     "kg_canonical_nodes": q_kg_canonical_nodes,
@@ -1479,6 +1521,7 @@ ORACLES: dict[str, str] = {
     "kg_mentions": SQL_KG_MENTIONS,
     "kg_pairs": SQL_KG_PAIRS,
     "kg_triples": SQL_KG_TRIPLES,
+    "kg_triples_dedup_inputs": SQL_KG_TRIPLES,
     "kg_links": SQL_KG_LINKS,
     "kg_canonical_edges": SQL_KG_CANONICAL_EDGES,
     "kg_canonical_nodes": SQL_KG_CANONICAL_NODES,
