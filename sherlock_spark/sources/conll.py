@@ -8,16 +8,23 @@ seqeval semantics, end made exclusive.
 
 Spark shape: ``spark.read.text`` preserves no global order, so we
 recover it with ``monotonically_increasing_id`` (valid because
-``text`` reads line-ranges in file order within partitions and partition
-ids are ordered by file offset), then assign sentence groups with a
-running conditional sum window. The window is the only shuffle; at
-cluster scale one would split per-file, which this layout preserves.
+``text`` reads line-ranges in file order within partitions and a file's
+splits get partition ids ordered by offset), then assign sentence
+groups with a running conditional-sum window PARTITIONED PER FILE
+(``input_file_name``). Line numbering, sentence grouping, and guid
+numbering are all per-file in the format's own semantics (guids restart
+at 1 per basename), so the per-file window loses nothing and the reader
+scales with the number of input files — a directory of N corpus shards
+runs N-wide with no single-partition exchange. The IOB1 decode is an
+Arrow-batched pandas UDF sharing ``get_entities_conll`` with the
+pure-Python codec.
 """
 
 from __future__ import annotations
 
-import os
+from typing import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -36,46 +43,63 @@ _MENTS_SCHEMA = T.ArrayType(
 )
 
 
-@F.udf(returnType=_MENTS_SCHEMA)
-def _iob1_mentions(ner_tags):
+@F.pandas_udf(_MENTS_SCHEMA)
+def _iob1_mentions(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """seqeval-exact IOB1 decode (conll_2003.py:170-172), end exclusive.
 
-    A tiny per-row scalar on short tag arrays; kept as a plain UDF for
-    exact parity with the shared pure-Python codec.
+    Arrow-batched; the decode itself is the shared pure-Python codec
+    (one short tag list per row — the per-row cost is trivial, the
+    batching removes the per-row serialization of a plain F.udf).
     """
-    if ner_tags is None:
-        return []
-    return [
-        (start, end + 1, label)
-        for label, start, end in get_entities_conll(list(ner_tags))
-    ]
+    for series in batches:
+        out = []
+        for ner_tags in series:
+            if ner_tags is None:
+                out.append([])
+            else:
+                out.append(
+                    [
+                        {"start": start, "end": end + 1, "label": label}
+                        for label, start, end in get_entities_conll(
+                            list(ner_tags)
+                        )
+                    ]
+                )
+        yield pd.Series(out)
 
 
 def read_conll2003(spark: SparkSession, file_path: str) -> DataFrame:
-    """CoNLL file -> document rows (guid, text, tokens, sents, ments)."""
-    split = os.path.basename(file_path)
-
-    lines = spark.read.text(file_path).withColumn(
-        "line_id", F.monotonically_increasing_id()
+    """CoNLL file (or directory of files) -> document rows
+    (guid, text, tokens, sents, ments). Each input file is an
+    independent unit: its own line order, sentence numbering, and guid
+    prefix (the file's basename) — so the whole reader parallelizes
+    per file."""
+    lines = spark.read.text(file_path).select(
+        F.col("value"),
+        F.input_file_name().alias("fname"),
+        F.monotonically_increasing_id().alias("line_id"),
     )
 
     is_break = F.col("value").startswith("-DOCSTART-") | (
         F.trim(F.col("value")) == ""
     )
-    window = Window.orderBy("line_id")
+    # running sum per FILE — parallelism = number of input files; never
+    # a single-partition global window
+    window = Window.partitionBy("fname").orderBy("line_id")
     grouped = lines.withColumn(
         "group_id", F.sum(F.when(is_break, 1).otherwise(0)).over(window)
     ).filter(~is_break)
 
     sentences = (
         grouped.withColumn("parts", F.split(F.col("value"), " "))
-        .groupBy("group_id")
+        .groupBy("fname", "group_id")
         .agg(
             F.sort_array(
                 F.collect_list(F.struct(F.col("line_id"), F.col("parts")))
             ).alias("rows")
         )
         .select(
+            "fname",
             "group_id",
             F.transform(F.col("rows"), lambda r: r["parts"][0]).alias("words"),
             F.transform(
@@ -87,9 +111,16 @@ def read_conll2003(spark: SparkSession, file_path: str) -> DataFrame:
         )
     )
 
-    # guid index n starts at 1 in file order (conll_2003.py:121,131-136)
-    guid_window = Window.orderBy("group_id")
-    sentences = sentences.withColumn("n", F.row_number().over(guid_window))
+    # guid index n starts at 1 in file order (conll_2003.py:121,131-136),
+    # numbered per file; the guid prefix is the file's own basename
+    # (input_file_name returns a URL-encoded URI — strip the path, then
+    # decode)
+    guid_window = Window.partitionBy("fname").orderBy("group_id")
+    sentences = sentences.withColumn(
+        "n", F.row_number().over(guid_window)
+    ).withColumn(
+        "split", F.url_decode(F.regexp_extract("fname", "([^/]+)$", 1))
+    )
 
     offsets = F.aggregate(
         F.col("words"),
@@ -114,7 +145,7 @@ def read_conll2003(spark: SparkSession, file_path: str) -> DataFrame:
     )
 
     return sentences.select(
-        F.concat(F.lit(split), F.lit("-"), F.col("n")).alias("guid"),
+        F.concat(F.col("split"), F.lit("-"), F.col("n")).alias("guid"),
         F.concat_ws(" ", F.col("words")).alias("text"),
         F.transform(
             offsets,

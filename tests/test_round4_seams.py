@@ -10,6 +10,49 @@ import pytest
 from sherlock_spark.model_stub import FIXTURE_RC_LABELS
 
 
+CONLL_FIXTURE = "/root/reference/tests/fixtures/datasets/conll.txt"
+
+
+def test_conll_reader_scale_shape(spark, tmp_path):
+    """The CoNLL reader must parallelize per input file: no
+    single-partition global window, no row-at-a-time Python UDF
+    (the round-3 S3 `weak` finding). A directory of two files reads as
+    two independent units with per-file guid numbering."""
+    import shutil
+
+    from sherlock_spark.sources.conll import read_conll2003
+
+    # plan shape on the reference fixture
+    df = read_conll2003(spark, CONLL_FIXTURE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan  # IOB1 decode is Arrow-batched
+    assert "ArrowEvalPython" in plan
+
+    # multi-file directory: each file is its own unit, guids restart
+    corpus = tmp_path / "conll_corpus"
+    corpus.mkdir()
+    shutil.copyfile(CONLL_FIXTURE, corpus / "shard_a.txt")
+    shutil.copyfile(CONLL_FIXTURE, corpus / "shard_b.txt")
+    docs = read_conll2003(spark, str(corpus)).collect()
+    assert len(docs) == 16  # 8 sentences per shard
+    by_prefix = {}
+    for doc in docs:
+        prefix, n = doc.guid.rsplit("-", 1)
+        by_prefix.setdefault(prefix, []).append(int(n))
+    assert set(by_prefix) == {"shard_a.txt", "shard_b.txt"}
+    assert sorted(by_prefix["shard_a.txt"]) == list(range(1, 9))
+    assert sorted(by_prefix["shard_b.txt"]) == list(range(1, 9))
+    # per-file content identical to the single-file read
+    single = {
+        doc.guid.split("-")[-1]: (doc.text, [tuple(m) for m in doc.ments])
+        for doc in read_conll2003(spark, CONLL_FIXTURE).collect()
+    }
+    for doc in docs:
+        n = doc.guid.rsplit("-", 1)[1]
+        assert (doc.text, [tuple(m) for m in doc.ments]) == single[n]
+
+
 def test_distribute_pretrained_retrained_in_place_raises(spark, tmp_path):
     """A model dir RETRAINED IN PLACE (same path, new content) must not
     short-circuit to the stale shipped bundle — executors resolve

@@ -133,6 +133,27 @@ def main() -> int:
         plan,
     )
 
+    # 6. CoNLL reader scale shape: the sentence-grouping window is
+    #    partitioned per input file — no single-partition global sort —
+    #    and the IOB1 decode is Arrow-batched, not row-at-a-time Python
+    from sherlock_spark.sources.conll import read_conll2003
+
+    plan = plan_of(
+        read_conll2003(
+            spark, "/root/reference/tests/fixtures/datasets/conll.txt"
+        )
+    )
+    check(
+        "conll reader: no single-partition Exchange (per-file window)",
+        "Exchange SinglePartition" not in plan,
+        plan,
+    )
+    check(
+        "conll reader: IOB1 decode is Arrow-batched (no BatchEvalPython)",
+        "BatchEvalPython" not in plan,
+        plan,
+    )
+
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
