@@ -6,11 +6,12 @@ checkpointed DataFrame stages (SURVEY.md §3.2). Each stage materializes
 to a table with per-partition lineage; rerunning after a failure skips
 completed stages (idempotent resume).
 
-Skew handling: input is repartitioned by ``hash(conv_id, salt)`` where
-the salt spreads turns of oversized conversations across
-``salt_buckets`` partitions (turn-level work is embarrassingly parallel,
-so splitting a conversation is safe — only ordering-sensitive consumers
-re-sort by (conv_id, turn_idx)).
+Skew handling: input is repartitioned by ``hash(conv_id, salt)`` with
+``salt = turn_idx // chunk_turns`` (``salt_by_conv``): oversized
+conversations split into bounded contiguous chunks while normal ones
+stay whole. Turn-level work is embarrassingly parallel, so splitting a
+conversation is safe — only ordering-sensitive consumers re-sort by
+(conv_id, turn_idx).
 """
 
 from __future__ import annotations
@@ -32,11 +33,24 @@ from sherlock_spark.plans.checkpoint import CheckpointManager
 
 
 def salt_by_conv(
-    df: DataFrame, salt_buckets: int = 8, num_partitions: int | None = None
+    df: DataFrame,
+    chunk_turns: int = 256,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """Spread long conversations: partition key (conv_id, turn_idx %
-    salt_buckets). Normal conversations still co-locate within a bucket;
-    hot conversations fan out over ``salt_buckets`` partitions.
+    """Spread long conversations: partition key (conv_id,
+    ``turn_idx // chunk_turns``) — the SURVEY §4 skew safeguard.
+
+    Chunked (not modulo) salting: a conversation with at most
+    ``chunk_turns`` turns gets ONE salt value (0) and stays whole — no
+    fragmentation of normal conversations — while a mega-conversation
+    (the agent-transcript skew case: one conv_id with 10^5+ turns)
+    splits into ``ceil(turns / chunk_turns)`` contiguous chunks that
+    hash to different tasks. No heavy-key detection pass is needed: the
+    salt is a pure per-row expression, costs nothing when no key is
+    heavy, and bounds the largest per-task key block at ``chunk_turns``
+    rows by construction. Turn-level stages (tokenize/NER/pair-explode)
+    are embarrassingly parallel, so splitting a conversation is safe —
+    only ordering-sensitive consumers re-sort by (conv_id, turn_idx).
 
     The partition count is explicit — downstream stages are
     compute-bound (pair explode + model UDFs), and AQE's byte-based
@@ -46,7 +60,9 @@ def salt_by_conv(
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(
-        num_partitions, F.col("conv_id"), (F.col("turn_idx") % F.lit(salt_buckets))
+        num_partitions,
+        F.col("conv_id"),
+        F.floor(F.col("turn_idx") / F.lit(chunk_turns)),
     )
 
 
@@ -61,7 +77,7 @@ def run_kg_pipeline(
     entity_handling: str = "mark_entity",
     max_length: int = 128,
     max_mentions: int = 16,
-    salt_buckets: int = 8,
+    chunk_turns: int = 256,
 ) -> dict[str, DataFrame]:
     """Run (or resume) the full KG-construction DAG. Returns the stage
     DataFrames: triples, links, canonical_map, nodes, edges.
@@ -71,7 +87,7 @@ def run_kg_pipeline(
     labels = DEFAULT_RC_LABELS if rc_labels is None else rc_labels
 
     def build_triples() -> DataFrame:
-        salted = salt_by_conv(transcripts, salt_buckets)
+        salted = salt_by_conv(transcripts, chunk_turns)
         annotated = annotate_mentions(spark, salted, lexicon)
         return extract_triples(
             spark,
@@ -94,7 +110,7 @@ def run_kg_pipeline(
     alias_df = make_alias_df(spark, alias_rows)
 
     def build_links() -> DataFrame:
-        salted = salt_by_conv(transcripts, salt_buckets)
+        salted = salt_by_conv(transcripts, chunk_turns)
         annotated = annotate_mentions(spark, salted, lexicon)
         return linked_mentions(annotated, alias_df)
 

@@ -50,6 +50,7 @@ from sherlock_spark.operators.canonicalize import canonicalize, materialize_grap
 from sherlock_spark.operators.linking import linked_mentions, make_alias_df
 from sherlock_spark.operators.ner import annotate_mentions, with_tokens
 from sherlock_spark.operators.rc import enumerate_pairs, extract_triples
+from sherlock_spark.plans.pipeline import salt_by_conv
 from sherlock_spark.sources.transcripts import (
     transcripts_from_documents,
     transcripts_from_documents_sql,
@@ -85,10 +86,14 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread turns across the cluster up front. The partition count is
     # EXPLICIT: AQE's byte-based coalescing would collapse this tiny
     # (by bytes) shuffle to one partition and serialize the whole
-    # compute-bound stage — partition by compute, not bytes.
-    return transcripts_from_documents(
-        _load(spark, sf_dir, "documents"), N_CONVS
-    ).repartition(spark.sparkContext.defaultParallelism, F.col("conv_id"))
+    # compute-bound stage — partition by compute, not bytes. Salted by
+    # turn_idx // chunk (salt_by_conv): a mega-conversation can't
+    # hot-spot one NER task — its turns split into bounded chunks,
+    # while normal conversations keep one salt value and stay whole.
+    return salt_by_conv(
+        transcripts_from_documents(_load(spark, sf_dir, "documents"), N_CONVS),
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 def _annotated(spark: SparkSession, sf_dir: str) -> DataFrame:

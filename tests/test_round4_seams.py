@@ -13,6 +13,63 @@ from sherlock_spark.model_stub import FIXTURE_RC_LABELS
 CONLL_FIXTURE = "/root/reference/tests/fixtures/datasets/conll.txt"
 
 
+def test_salt_by_conv_spreads_mega_conversation(spark):
+    """SURVEY §4 skew safeguard: one mega-conversation among uniform
+    ones must not hot-spot a single task. With chunked salting
+    (salt = turn_idx // chunk) no partition holds more than ~2x the
+    mean row count, while unsalted conv_id partitioning necessarily
+    pins the whole hot conversation on one task."""
+    from pyspark.sql import functions as F
+
+    from sherlock_spark.plans.pipeline import salt_by_conv
+    from sherlock_spark.sources.transcripts import (
+        synth_transcripts_from_fixtures,
+    )
+
+    n_parts = 8
+    transcripts = synth_transcripts_from_fixtures(
+        spark, n_convs=20, turns_per_conv=50, skew_conv_turns=20_000
+    )
+    total = 20 * 50 + 20_000
+    mean = total / n_parts
+
+    def partition_counts(df):
+        rows = (
+            df.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .collect()
+        )
+        return [row["count"] for row in rows]
+
+    # unsalted: the hot conversation's 20k rows land on ONE task
+    unsalted = transcripts.repartition(n_parts, F.col("conv_id"))
+    assert max(partition_counts(unsalted)) >= 20_000
+
+    # salted: bounded chunks spread the hot conversation
+    salted = salt_by_conv(
+        transcripts, chunk_turns=256, num_partitions=n_parts
+    )
+    counts = partition_counts(salted)
+    assert max(counts) <= 2 * mean, counts
+    # row-preserving: salting is a repartition, never a filter
+    assert sum(counts) == total
+
+    # conversations at or under chunk_turns keep a single salt value —
+    # normal conversations are not fragmented by the safeguard
+    one_salt = (
+        transcripts.filter(F.col("conv_id") != "conv-hot")
+        .select(
+            "conv_id",
+            F.floor(F.col("turn_idx") / F.lit(256)).alias("salt"),
+        )
+        .groupBy("conv_id")
+        .agg(F.countDistinct("salt").alias("n_salts"))
+        .agg(F.max("n_salts").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert one_salt == 1
+
+
 def test_conll_reader_scale_shape(spark, tmp_path):
     """The CoNLL reader must parallelize per input file: no
     single-partition global window, no row-at-a-time Python UDF

@@ -25,7 +25,7 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--input", required=True)
     parser.add_argument("--out", required=True)
-    parser.add_argument("--salt-buckets", type=int, default=8)
+    parser.add_argument("--chunk-turns", type=int, default=256)
     parser.add_argument("--max-mentions", type=int, default=16)
     args = parser.parse_args()
 
@@ -50,7 +50,7 @@ def main() -> None:
         spark,
         transcripts,
         args.out,
-        salt_buckets=args.salt_buckets,
+        chunk_turns=args.chunk_turns,
         max_mentions=args.max_mentions,
     )
     print(json.dumps({"lineage": result["lineage"]}, indent=2))
