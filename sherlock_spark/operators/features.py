@@ -20,9 +20,11 @@ is production code here:
   weights are NEVER pickled into task closures).
 - ``ner_annotate_from_pretrained`` builds the NER stage from such a
   directory with an executor-global one-load-per-worker singleton
-  (reference one-time-load analogue ``spacy.py:17,24-55``). Swapping the
-  stub for a HF model changes ONLY ``_load_bundle`` — the distribution,
-  batching, and decode shape stay.
+  (reference one-time-load analogue ``spacy.py:17,24-55``). Backend
+  selection is automatic (``operators/real_model.py``): when torch +
+  transformers import AND the bundle dir holds a real HF checkpoint,
+  the forward is the real model — the distribution, batching, and
+  decode shape never change between stub and real.
 """
 
 from __future__ import annotations
@@ -257,11 +259,28 @@ def distribute_pretrained(spark: SparkSession, path: str) -> str:
     return name
 
 
+def _build_ner_model(local_dir: str):
+    """NER backend selection (the optional-import seam, one place): a
+    real HF token-classification model when torch/transformers import
+    and ``local_dir`` holds a real checkpoint
+    (``real_model.maybe_real_ner_model``); the deterministic stub
+    otherwise. Both satisfy ``predict_tags``; the UDF plumbing around
+    them never changes."""
+    from sherlock_spark.operators.real_model import maybe_real_ner_model
+
+    real = maybe_real_ner_model(local_dir)
+    if real is not None:
+        return real
+    with open(os.path.join(local_dir, "ner_lexicon.json")) as handle:
+        lexicon = json.load(handle)
+    return StubNerModel(lexicon)
+
+
 def _load_bundle(bundle_name: str):
     """Executor-side one-time load: resolve via SparkFiles, read K4
-    files + lexicon + weights. THE swap point for a real model — replace
-    the StubNerModel construction with e.g. a HF
-    ``AutoModelForTokenClassification.from_pretrained(local_dir)``."""
+    files + lexicon + weights. Backend selection (real HF model vs
+    stub) happens in ``_build_ner_model`` — a real checkpoint in the
+    bundle dir activates torch with zero code change."""
     cached = _BUNDLE_CACHE.get(bundle_name)
     if cached is None:
         local_dir = SparkFiles.get(bundle_name)
@@ -272,12 +291,15 @@ def _load_bundle(bundle_name: str):
         converter = TokenClassificationConverter.from_pretrained(
             local_dir, tokenizer
         )
-        with open(os.path.join(local_dir, "ner_lexicon.json")) as handle:
-            lexicon = json.load(handle)
-        weights = np.load(os.path.join(local_dir, "weights.npz"))
-        # force the mmap'd arrays resident so load cost is paid here, once
-        n_params = int(sum(weights[key].size for key in weights.files))
-        model = StubNerModel(lexicon)
+        # stub bundles carry weights.npz; real HF checkpoints keep their
+        # parameters in safetensors/bin and load them inside the backend
+        n_params = 0
+        weights_path = os.path.join(local_dir, "weights.npz")
+        if os.path.exists(weights_path):
+            weights = np.load(weights_path)
+            # force the mmap'd arrays resident so load cost is paid once
+            n_params = int(sum(weights[key].size for key in weights.files))
+        model = _build_ner_model(local_dir)
         BUNDLE_LOADS[bundle_name] = BUNDLE_LOADS.get(bundle_name, 0) + 1
         cached = (model, converter, n_params)
         _BUNDLE_CACHE[bundle_name] = cached
@@ -384,13 +406,32 @@ def save_rc_pretrained_dir(
     return path
 
 
+def _build_rc_model(local_dir: str, labels: list[str]):
+    """RC backend selection (the optional-import seam, one place): a
+    real HF sequence-classification model when torch/transformers
+    import and ``local_dir`` holds a real checkpoint
+    (``real_model.maybe_real_rc_model``); the deterministic stub
+    otherwise. Both satisfy ``forward_pairs`` + ``labels``; the UDF
+    plumbing around them never changes."""
+    from sherlock_spark.model_stub import StubRcModel
+    from sherlock_spark.operators.real_model import maybe_real_rc_model
+
+    real = maybe_real_rc_model(local_dir, labels)
+    if real is not None:
+        return real
+    rules_path = os.path.join(local_dir, "rc_rules.json")
+    rules = {}
+    if os.path.exists(rules_path):
+        with open(rules_path) as handle:
+            rules = {tuple(key): value for key, value in json.load(handle)}
+    return StubRcModel(labels, rules or None)
+
+
 def _load_rc_bundle(bundle_name: str):
     """Executor-side one-time load of an RC bundle: labels from the K4
-    vocab file, rules, weights. THE swap point for a real RC model —
-    replace the StubRcModel construction with e.g. HF
-    ``AutoModelForSequenceClassification.from_pretrained(local_dir)``."""
-    from sherlock_spark.model_stub import StubRcModel
-
+    vocab file, rules, weights. Backend selection (real HF model vs
+    stub) happens in ``_build_rc_model`` — a real checkpoint in the
+    bundle dir activates torch with zero code change."""
     cached = _BUNDLE_CACHE.get(bundle_name)
     if cached is None:
         local_dir = SparkFiles.get(bundle_name)
@@ -398,11 +439,12 @@ def _load_rc_bundle(bundle_name: str):
             raise FileNotFoundError(local_dir)
         with open(os.path.join(local_dir, "converter_label_vocab.txt")) as handle:
             labels = [line for line in handle.read().splitlines() if line]
-        with open(os.path.join(local_dir, "rc_rules.json")) as handle:
-            rules = {tuple(key): value for key, value in json.load(handle)}
-        weights = np.load(os.path.join(local_dir, "weights.npz"))
-        n_params = int(sum(weights[key].size for key in weights.files))
-        model = StubRcModel(labels, rules or None)
+        n_params = 0
+        weights_path = os.path.join(local_dir, "weights.npz")
+        if os.path.exists(weights_path):
+            weights = np.load(weights_path)
+            n_params = int(sum(weights[key].size for key in weights.files))
+        model = _build_rc_model(local_dir, labels)
         BUNDLE_LOADS[bundle_name] = BUNDLE_LOADS.get(bundle_name, 0) + 1
         cached = (model, n_params)
         _BUNDLE_CACHE[bundle_name] = cached

@@ -1,13 +1,252 @@
 """Round-4 seam tests: stale-bundle detection, the optional-import
-real-model path, and dedup_model_inputs memory discipline."""
+real-model path, skew salting, and the CoNLL reader's scale shape."""
 
 from __future__ import annotations
 
+import json
+import os
+import sys
 import time
+import types
 
+import numpy as np
 import pytest
 
 from sherlock_spark.model_stub import FIXTURE_RC_LABELS
+
+
+# -- fake torch/transformers stack (minimal surface the real wrappers
+# actually touch), installed into sys.modules per-test ------------------
+
+
+class _FakeTensor:
+    """numpy array behind the two torch.Tensor methods the wrappers
+    call: argmax(dim=...) and tolist()."""
+
+    def __init__(self, array):
+        self.array = np.asarray(array)
+
+    def argmax(self, dim):
+        return _FakeTensor(self.array.argmax(axis=dim))
+
+    def tolist(self):
+        return self.array.tolist()
+
+
+class _FakeEncoding(dict):
+    """BatchEncoding stand-in: mapping of model inputs + word_ids(i).
+    One subword per word with a leading CLS (None)."""
+
+    def __init__(self, batch_words):
+        super().__init__()
+        self.batch_words = batch_words
+        self.max_len = 1 + max(len(words) for words in batch_words)
+        self["input_ids"] = _FakeTensor(np.zeros((len(batch_words), self.max_len)))
+
+    def word_ids(self, i):
+        ids = [None] + list(range(len(self.batch_words[i])))
+        return ids + [None] * (self.max_len - len(ids))
+
+
+class _FakeNerOutput:
+    def __init__(self, logits):
+        self.logits = logits
+
+
+def install_fake_torch_stack(monkeypatch, calls):
+    """Fake torch + transformers with exactly the surface the real
+    wrappers touch. NER model: tags words ending in '!' as B-ENT;
+    RC model: scores checkpoint column ``len(text) % 3`` highest.
+    Every model forward appends its batch size to ``calls`` so tests
+    can pin sub-batching."""
+    torch = types.ModuleType("torch")
+
+    class _NoGrad:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    torch.no_grad = _NoGrad
+
+    class _FakeConfig:
+        def __init__(self, id2label, label2id):
+            self.id2label = id2label
+            self.label2id = label2id
+
+    # the wrappers call tokenizer(...) then model(**enc); **-expansion
+    # flattens the encoding to its dict keys, so the tokenizer records
+    # the full encoding object on the model-entry class for the fake
+    # model to read back
+    class _RecordingTokenizer:
+        def __init__(self, entry):
+            self.entry = entry
+
+        def __call__(self, batch, is_split_into_words=False, padding=True,
+                     truncation=True, return_tensors="pt"):
+            if is_split_into_words:
+                enc = _FakeEncoding(batch)
+            else:
+                enc = _FakeEncoding([text.split(" ") for text in batch])
+                enc.texts = batch
+            self.entry.last_enc = enc
+            return enc
+
+    class _NerEntry:
+        @staticmethod
+        def from_pretrained(local_dir):
+            class _Model:
+                config = _FakeConfig(
+                    {0: "O", 1: "B-ENT"}, {"O": 0, "B-ENT": 1}
+                )
+
+                def eval(self):
+                    return self
+
+                def __call__(self, **kwargs):
+                    enc = _NerEntry.last_enc
+                    calls.append(len(enc.batch_words))
+                    logits = np.zeros((len(enc.batch_words), enc.max_len, 2))
+                    for i, words in enumerate(enc.batch_words):
+                        for j, word in enumerate(words):
+                            if word.endswith("!"):
+                                logits[i, 1 + j, 1] = 10.0
+                    return _FakeNerOutput(_FakeTensor(logits))
+
+            return _Model()
+
+    class _RcEntry:
+        @staticmethod
+        def from_pretrained(local_dir):
+            class _Model:
+                config = _FakeConfig(
+                    {0: "no_relation", 1: "per:title", 2: "per:children"},
+                    {"no_relation": 0, "per:title": 1, "per:children": 2},
+                )
+
+                def eval(self):
+                    return self
+
+                def __call__(self, **kwargs):
+                    enc = _RcEntry.last_enc
+                    calls.append(len(enc.texts))
+                    logits = np.full((len(enc.texts), 3), -5.0)
+                    for i, text in enumerate(enc.texts):
+                        logits[i, len(text) % 3] = 5.0
+                    return _FakeNerOutput(_FakeTensor(logits))
+
+            return _Model()
+
+    # AutoTokenizer serves both wrappers; route by a marker file the
+    # test writes into RC checkpoints
+    class _AutoTokenizer:
+        @staticmethod
+        def from_pretrained(local_dir):
+            if os.path.exists(os.path.join(local_dir, "rc_marker")):
+                return _RecordingTokenizer(_RcEntry)
+            return _RecordingTokenizer(_NerEntry)
+
+    transformers = types.ModuleType("transformers")
+    transformers.AutoTokenizer = _AutoTokenizer
+    transformers.AutoModelForTokenClassification = _NerEntry
+    transformers.AutoModelForSequenceClassification = _RcEntry
+
+    monkeypatch.setitem(sys.modules, "torch", torch)
+    monkeypatch.setitem(sys.modules, "transformers", transformers)
+
+
+def _write_hf_checkpoint(path, rc=False):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "config.json"), "w") as handle:
+        json.dump({"model_type": "bert"}, handle)
+    open(os.path.join(path, "model.safetensors"), "wb").close()
+    if rc:
+        open(os.path.join(path, "rc_marker"), "w").close()
+
+
+def test_real_ner_backend_selected_and_subbatched(monkeypatch, tmp_path):
+    """With torch importable AND a real checkpoint present, the NER
+    backend is the real wrapper: same predict_tags plumbing, forwards
+    sub-batched at 16 (reference transformers_annotator.py:31,60-61),
+    word-aligned tags from the checkpoint's own id2label."""
+    calls: list[int] = []
+    install_fake_torch_stack(monkeypatch, calls)
+    from sherlock_spark.operators.features import _build_ner_model
+    from sherlock_spark.operators.real_model import HfNerModel
+
+    ckpt = tmp_path / "ner_ckpt"
+    _write_hf_checkpoint(str(ckpt))
+    model = _build_ner_model(str(ckpt))
+    assert isinstance(model, HfNerModel)
+
+    # 35 sentences -> forwards of 16, 16, 3
+    sentences = [["hello", "world!"] for _ in range(35)]
+    tags = model.predict_tags(sentences)
+    assert calls == [16, 16, 3]
+    assert tags == [["O", "B-ENT"]] * 35  # stub-identical output shape
+
+
+def test_real_rc_backend_selected_and_label_ordered(monkeypatch, tmp_path):
+    """RC real backend: logits re-ordered to the BUNDLE's label
+    vocabulary via the checkpoint's label2id, sub-batched at 16,
+    numpy output shape identical to the stub's forward_pairs."""
+    calls: list[int] = []
+    install_fake_torch_stack(monkeypatch, calls)
+    from sherlock_spark.operators.features import _build_rc_model
+    from sherlock_spark.operators.real_model import HfRcModel
+
+    ckpt = tmp_path / "rc_ckpt"
+    _write_hf_checkpoint(str(ckpt), rc=True)
+    # bundle orders labels differently from the checkpoint
+    bundle_labels = ["per:children", "no_relation", "per:title"]
+    model = _build_rc_model(str(ckpt), bundle_labels)
+    assert isinstance(model, HfRcModel)
+    assert model.labels == bundle_labels
+
+    pairs = [("PERSON", "TITLE", "a", "b")] * 20
+    logits = model.forward_pairs(pairs)
+    assert calls == [16, 4]
+    assert logits.shape == (20, 3)
+    # fake scores column len(text) % 3 in CHECKPOINT order; text is
+    # "PERSON a [SEP] TITLE b" (22 chars) -> checkpoint col 1 =
+    # per:title -> bundle index 2
+    assert (logits.argmax(axis=1) == 2).all()
+
+
+def test_stub_fallback_without_torch(monkeypatch, tmp_path):
+    """No torch -> stub, even with a real checkpoint on disk; torch
+    present but NO checkpoint -> stub too. Output plumbing identical."""
+    from sherlock_spark.model_stub import StubNerModel, StubRcModel
+    from sherlock_spark.operators.features import (
+        _build_ner_model,
+        _build_rc_model,
+        save_pretrained_dir,
+        save_rc_pretrained_dir,
+    )
+
+    # (a) checkpoint present, torch import blocked
+    ckpt = tmp_path / "blocked_ckpt"
+    _write_hf_checkpoint(str(ckpt))
+    with open(ckpt / "ner_lexicon.json", "w") as handle:
+        json.dump({"spark": "B-ENGINE"}, handle)
+    monkeypatch.setitem(sys.modules, "torch", None)  # import -> ImportError
+    model = _build_ner_model(str(ckpt))
+    assert isinstance(model, StubNerModel)
+    assert model.predict_tags([["spark", "joins"]]) == [["B-ENGINE", "O"]]
+
+    # (b) torch importable (fake), but stub bundle has no checkpoint
+    calls: list[int] = []
+    install_fake_torch_stack(monkeypatch, calls)
+    stub_dir = tmp_path / "stub_bundle"
+    save_pretrained_dir(str(stub_dir), {"spark": "B-ENGINE"}, ["O", "B-ENGINE"])
+    assert isinstance(_build_ner_model(str(stub_dir)), StubNerModel)
+    rc_dir = tmp_path / "stub_rc_bundle"
+    save_rc_pretrained_dir(str(rc_dir), FIXTURE_RC_LABELS)
+    assert isinstance(
+        _build_rc_model(str(rc_dir), FIXTURE_RC_LABELS), StubRcModel
+    )
+    assert calls == []  # no fake forward ever ran
 
 
 CONLL_FIXTURE = "/root/reference/tests/fixtures/datasets/conll.txt"
