@@ -104,3 +104,36 @@ def test_cc_star_converges_in_constant_rounds(spark):
     comp = connected_components(hub, max_iterations=10, stats=stats)
     assert comp.filter(F.col("component") != "hub").count() == 0
     assert stats["iterations"] <= 3
+
+
+def test_cc_high_diameter_chain_logarithmic_rounds(spark):
+    """A path graph of diameter 1000 — the adversarial case for plain
+    min-label propagation (O(diameter) rounds would blow past any sane
+    iteration bound). Pointer jumping makes it O(log diameter): the
+    chain must collapse to its head within ~log2(1000) + slack rounds,
+    well inside the default max_iterations=25."""
+    n = 1000
+    chain = spark.range(n).select(
+        F.concat(F.lit("c"), _zpad(F.col("id"))).alias("src"),
+        F.concat(F.lit("c"), _zpad(F.col("id") + 1)).alias("dst"),
+    )
+    stats: dict = {}
+    comp = connected_components(chain, stats=stats)
+    assert comp.filter(F.col("component") != "c0000000").count() == 0
+    assert comp.count() == n + 1
+    assert stats["converged"] is True
+    assert stats["iterations"] <= 14  # ~log2(1000)=10 plus slack
+
+
+def test_cc_unconverged_raises(spark):
+    """Exhausting max_iterations without convergence must raise — an
+    unconverged label table is silently wrong."""
+    import pytest as _pytest
+
+    chain = spark.range(40).select(
+        F.concat(F.lit("c"), _zpad(F.col("id"))).alias("src"),
+        F.concat(F.lit("c"), _zpad(F.col("id") + 1)).alias("dst"),
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        # shortcut off + 3 iterations cannot cover diameter 40
+        connected_components(chain, max_iterations=3, shortcut=False)
