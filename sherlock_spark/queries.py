@@ -1324,6 +1324,108 @@ def q_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_TRIPLES = SQL_KG_TRIPLES  # same dataflow, streaming execution
 
 
+def q_stream_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator, oracle-gated: per-conversation
+    summaries via ``applyInPandasWithState`` (one state row per open
+    conversation, event-time timeout after a quiet gap). Flushing state
+    at end-of-backlog uses the production incremental pattern — two
+    ``availableNow`` runs against ONE checkpoint: the first processes
+    the real files (conversations already quiet for ``gap`` before the
+    final watermark emit here), then a far-future SENTINEL file arrives
+    and the second run's watermark advance times out every remaining
+    conversation. The union of both appends is the complete summary
+    table, so the closed-form batch aggregate is its exact oracle.
+    Timestamps are compared as epoch seconds (BIGINT) — engine-neutral.
+    """
+    import os
+    import tempfile
+
+    from sherlock_spark.streaming.stream import stream_conversation_summaries
+
+    def build() -> DataFrame:
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "sherlock_stream_summ",
+            spark.sparkContext.applicationId,
+            sf_dir.strip("/").replace("/", "_"),
+        )
+        input_dir = os.path.join(base, "input")
+        output_dir = os.path.join(base, "summaries")
+        checkpoint_dir = os.path.join(base, "ckpt")
+        transcripts_from_documents(
+            _load(spark, sf_dir, "documents"), N_CONVS
+        ).repartition(8).write.mode("overwrite").parquet(input_dir)
+
+        def run_once() -> None:
+            summaries = stream_conversation_summaries(
+                spark, input_dir, gap="30 minutes", watermark="10 minutes"
+            )
+            query = (
+                summaries.writeStream.format("parquet")
+                .option("path", output_dir)
+                .option("checkpointLocation", checkpoint_dir)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+
+        run_once()
+        sentinel = spark.createDataFrame(
+            [("__sentinel__", 0, "user", "x", None)],
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string",
+        ).withColumn("ts", F.to_timestamp(F.lit("2036-01-01 00:00:00")))
+        sentinel.coalesce(1).write.mode("append").parquet(input_dir)
+        run_once()
+        return spark.read.parquet(output_dir)
+
+    summaries = stage(spark, ("stream_summaries", sf_dir), build)
+    return summaries.filter(F.col("conv_id") != "__sentinel__").select(
+        "conv_id",
+        F.col("n_turns").cast("long"),
+        F.col("n_mentions").cast("long"),
+        F.unix_timestamp("first_ts").alias("first_epoch"),
+        F.unix_timestamp("last_ts").alias("last_epoch"),
+    )
+
+
+# epoch('2026-01-01 00:00:00Z') — the transcript table's ts base
+_TS_EPOCH_BASE = 1_767_225_600
+
+_LEXICON_WORD_VALUES = ", ".join(
+    f"('{word}')" for word in sorted(DEFAULT_NER_LEXICON)
+)
+
+SQL_STREAM_SUMMARIES = f"""
+    WITH t AS (
+        SELECT 'c' || CAST(doc_id % {N_CONVS} AS VARCHAR) AS conv_id,
+               text, {_TS_EPOCH_BASE} + doc_id * 60 AS ep
+        FROM documents
+    ),
+    lexicon(word) AS (VALUES {_LEXICON_WORD_VALUES}),
+    w AS (
+        SELECT conv_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM t
+    ),
+    m AS (
+        SELECT w.conv_id, count(*) AS n_mentions
+        FROM w JOIN lexicon l ON w.word = l.word
+        GROUP BY w.conv_id
+    ),
+    agg AS (
+        SELECT conv_id, count(*) AS n_turns,
+               min(ep) AS first_epoch, max(ep) AS last_epoch
+        FROM t GROUP BY conv_id
+    )
+    SELECT a.conv_id, CAST(a.n_turns AS BIGINT) AS n_turns,
+           CAST(COALESCE(m.n_mentions, 0) AS BIGINT) AS n_mentions,
+           CAST(a.first_epoch AS BIGINT) AS first_epoch,
+           CAST(a.last_epoch AS BIGINT) AS last_epoch
+    FROM agg a LEFT JOIN m ON a.conv_id = m.conv_id
+"""
+
+
 # -- multimodal (oracle-gated: binary payloads derived from documents;
 # the md5-stub decode is replayed from first principles in SQL) ---------
 
@@ -1516,6 +1618,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_lsh_topk": q_sim_lsh_topk,
     "stream_triples": q_stream_triples,
+    "stream_summaries": q_stream_summaries,
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_chunks": q_multimodal_chunks,
@@ -1554,6 +1657,7 @@ ORACLES: dict[str, str] = {
     "sim_topk_cosine": SQL_SIM_TOPK,
     "sim_lsh_topk": SQL_SIM_LSH_TOPK,
     "stream_triples": SQL_STREAM_TRIPLES,
+    "stream_summaries": SQL_STREAM_SUMMARIES,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "multimodal_chunks": SQL_MULTIMODAL_CHUNKS,
