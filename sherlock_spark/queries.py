@@ -1390,6 +1390,70 @@ def q_stream_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed streaming aggregation, oracle-gated: per-conversation
+    mention/turn rates over 10-minute event-time windows with a
+    watermark (``stream_triple_rates``). Append mode emits a window only
+    once the watermark passes its end, so the same two-run sentinel
+    pattern as ``q_stream_summaries`` flushes every window; the
+    closed-form batch group-by is then the exact oracle. Window starts
+    compare as epoch seconds."""
+    import os
+    import tempfile
+
+    from sherlock_spark.streaming.stream import stream_triple_rates
+
+    def build() -> DataFrame:
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "sherlock_stream_rates",
+            spark.sparkContext.applicationId,
+            sf_dir.strip("/").replace("/", "_"),
+        )
+        input_dir = os.path.join(base, "input")
+        output_dir = os.path.join(base, "rates")
+        checkpoint_dir = os.path.join(base, "ckpt")
+        transcripts_from_documents(
+            _load(spark, sf_dir, "documents"), N_CONVS
+        ).repartition(8).write.mode("overwrite").parquet(input_dir)
+
+        def run_once() -> None:
+            rates = stream_triple_rates(
+                spark,
+                input_dir,
+                checkpoint_dir,
+                window="10 minutes",
+                watermark="10 minutes",
+            )
+            query = (
+                rates.writeStream.format("parquet")
+                .option("path", output_dir)
+                .option("checkpointLocation", checkpoint_dir + "_q")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+
+        run_once()
+        sentinel = spark.createDataFrame(
+            [("__sentinel__", 0, "user", "x", None)],
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string",
+        ).withColumn("ts", F.to_timestamp(F.lit("2036-01-01 00:00:00")))
+        sentinel.coalesce(1).write.mode("append").parquet(input_dir)
+        run_once()
+        return spark.read.parquet(output_dir)
+
+    rates = stage(spark, ("stream_rates", sf_dir), build)
+    return rates.filter(F.col("conv_id") != "__sentinel__").select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        "conv_id",
+        F.col("n_mentions").cast("long"),
+        F.col("n_turns").cast("long"),
+    )
+
+
 # epoch('2026-01-01 00:00:00Z') — the transcript table's ts base
 _TS_EPOCH_BASE = 1_767_225_600
 
@@ -1423,6 +1487,33 @@ SQL_STREAM_SUMMARIES = f"""
            CAST(a.first_epoch AS BIGINT) AS first_epoch,
            CAST(a.last_epoch AS BIGINT) AS last_epoch
     FROM agg a LEFT JOIN m ON a.conv_id = m.conv_id
+"""
+
+
+SQL_STREAM_RATES = f"""
+    WITH t AS (
+        SELECT 'c' || CAST(doc_id % {N_CONVS} AS VARCHAR) AS conv_id,
+               text,
+               {_TS_EPOCH_BASE} + (doc_id * 60 // 600) * 600 AS wep
+        FROM documents
+    ),
+    lexicon(word) AS (VALUES {_LEXICON_WORD_VALUES}),
+    w AS (
+        SELECT conv_id, wep, unnest(string_split(lower(text), ' ')) AS word
+        FROM t
+    ),
+    m AS (
+        SELECT w.conv_id, w.wep, count(*) AS n_mentions
+        FROM w JOIN lexicon l ON w.word = l.word
+        GROUP BY w.conv_id, w.wep
+    ),
+    agg AS (
+        SELECT conv_id, wep, count(*) AS n_turns FROM t GROUP BY conv_id, wep
+    )
+    SELECT CAST(a.wep AS BIGINT) AS window_epoch, a.conv_id,
+           CAST(COALESCE(m.n_mentions, 0) AS BIGINT) AS n_mentions,
+           CAST(a.n_turns AS BIGINT) AS n_turns
+    FROM agg a LEFT JOIN m ON a.conv_id = m.conv_id AND a.wep = m.wep
 """
 
 
@@ -1619,6 +1710,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_lsh_topk": q_sim_lsh_topk,
     "stream_triples": q_stream_triples,
     "stream_summaries": q_stream_summaries,
+    "stream_rates": q_stream_rates,
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_chunks": q_multimodal_chunks,
@@ -1658,6 +1750,7 @@ ORACLES: dict[str, str] = {
     "sim_lsh_topk": SQL_SIM_LSH_TOPK,
     "stream_triples": SQL_STREAM_TRIPLES,
     "stream_summaries": SQL_STREAM_SUMMARIES,
+    "stream_rates": SQL_STREAM_RATES,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "multimodal_chunks": SQL_MULTIMODAL_CHUNKS,
