@@ -78,6 +78,15 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # One BLAS/OMP thread per task Python: Spark already runs one
+        # task per core, so a torch/numpy forward that fans out its own
+        # thread pool oversubscribes the executor by cores^2 (SURVEY §4,
+        # reference run_all_langs.sh:3-5 pins the same). Inert for the
+        # stub models; load-bearing once the real-model backend
+        # (operators/real_model.py) activates.
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
