@@ -1326,63 +1326,80 @@ def q_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_TRIPLES = SQL_KG_TRIPLES  # same dataflow, streaming execution
 
 
-def q_stream_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming operator, oracle-gated: per-conversation
-    summaries via ``applyInPandasWithState`` (one state row per open
-    conversation, event-time timeout after a quiet gap). Flushing state
-    at end-of-backlog uses the production incremental pattern — two
-    ``availableNow`` runs against ONE checkpoint: the first processes
-    the real files (conversations already quiet for ``gap`` before the
-    final watermark emit here), then a far-future SENTINEL file arrives
-    and the second run's watermark advance times out every remaining
-    conversation. The union of both appends is the complete summary
-    table, so the closed-form batch aggregate is its exact oracle.
-    Timestamps are compared as epoch seconds (BIGINT) — engine-neutral.
-    """
+def _streamed_with_sentinel_flush(
+    spark: SparkSession, sf_dir: str, name: str, stream_of
+) -> DataFrame:
+    """Run a watermarked streaming aggregation over the transcript
+    backlog and FLUSH all of its state — the production incremental
+    pattern: two ``availableNow`` runs against ONE checkpoint. The
+    first processes the real files; then a far-future SENTINEL file
+    arrives and the second run's watermark advance fires every
+    event-time timeout / closes every window. The union of both
+    appends is the complete result, so a closed-form batch aggregate
+    is its exact oracle. ``stream_of(input_dir, checkpoint_dir)``
+    builds the streaming DataFrame; the sentinel's ``__sentinel__``
+    conv_id is the caller's to filter out."""
     import os
     import tempfile
 
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"sherlock_{name}",
+        spark.sparkContext.applicationId,
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    input_dir = os.path.join(base, "input")
+    output_dir = os.path.join(base, "out")
+    checkpoint_dir = os.path.join(base, "ckpt")
+    transcripts_from_documents(
+        _load(spark, sf_dir, "documents"), N_CONVS
+    ).repartition(8).write.mode("overwrite").parquet(input_dir)
+
+    def run_once() -> None:
+        query = (
+            stream_of(input_dir, checkpoint_dir)
+            .writeStream.format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir + "_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+    run_once()
+    sentinel = spark.createDataFrame(
+        [("__sentinel__", 0, "user", "x", None)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string",
+    ).withColumn("ts", F.to_timestamp(F.lit("2036-01-01 00:00:00")))
+    sentinel.coalesce(1).write.mode("append").parquet(input_dir)
+    run_once()
+    return spark.read.parquet(output_dir)
+
+
+def q_stream_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator, oracle-gated: per-conversation
+    summaries via ``applyInPandasWithState`` (one state row per open
+    conversation, event-time timeout after a quiet gap), flushed with
+    the sentinel pattern (``_streamed_with_sentinel_flush``); the
+    closed-form batch aggregate is the exact oracle. Timestamps are
+    compared as epoch seconds (BIGINT) — engine-neutral.
+    """
     from sherlock_spark.streaming.stream import stream_conversation_summaries
 
-    def build() -> DataFrame:
-        base = os.path.join(
-            tempfile.gettempdir(),
-            "sherlock_stream_summ",
-            spark.sparkContext.applicationId,
-            sf_dir.strip("/").replace("/", "_"),
-        )
-        input_dir = os.path.join(base, "input")
-        output_dir = os.path.join(base, "summaries")
-        checkpoint_dir = os.path.join(base, "ckpt")
-        transcripts_from_documents(
-            _load(spark, sf_dir, "documents"), N_CONVS
-        ).repartition(8).write.mode("overwrite").parquet(input_dir)
-
-        def run_once() -> None:
-            summaries = stream_conversation_summaries(
+    summaries = stage(
+        spark,
+        ("stream_summaries", sf_dir),
+        lambda: _streamed_with_sentinel_flush(
+            spark,
+            sf_dir,
+            "stream_summ",
+            lambda input_dir, _ckpt: stream_conversation_summaries(
                 spark, input_dir, gap="30 minutes", watermark="10 minutes"
-            )
-            query = (
-                summaries.writeStream.format("parquet")
-                .option("path", output_dir)
-                .option("checkpointLocation", checkpoint_dir)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            query.awaitTermination()
-
-        run_once()
-        sentinel = spark.createDataFrame(
-            [("__sentinel__", 0, "user", "x", None)],
-            "conv_id string, turn_idx int, role string, text string,"
-            " tool string",
-        ).withColumn("ts", F.to_timestamp(F.lit("2036-01-01 00:00:00")))
-        sentinel.coalesce(1).write.mode("append").parquet(input_dir)
-        run_once()
-        return spark.read.parquet(output_dir)
-
-    summaries = stage(spark, ("stream_summaries", sf_dir), build)
+            ),
+        ),
+    )
     return summaries.filter(F.col("conv_id") != "__sentinel__").select(
         "conv_id",
         F.col("n_turns").cast("long"),
@@ -1396,58 +1413,28 @@ def q_stream_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed streaming aggregation, oracle-gated: per-conversation
     mention/turn rates over 10-minute event-time windows with a
     watermark (``stream_triple_rates``). Append mode emits a window only
-    once the watermark passes its end, so the same two-run sentinel
-    pattern as ``q_stream_summaries`` flushes every window; the
+    once the watermark passes its end, so the sentinel flush
+    (``_streamed_with_sentinel_flush``) closes every window; the
     closed-form batch group-by is then the exact oracle. Window starts
     compare as epoch seconds."""
-    import os
-    import tempfile
-
     from sherlock_spark.streaming.stream import stream_triple_rates
 
-    def build() -> DataFrame:
-        base = os.path.join(
-            tempfile.gettempdir(),
-            "sherlock_stream_rates",
-            spark.sparkContext.applicationId,
-            sf_dir.strip("/").replace("/", "_"),
-        )
-        input_dir = os.path.join(base, "input")
-        output_dir = os.path.join(base, "rates")
-        checkpoint_dir = os.path.join(base, "ckpt")
-        transcripts_from_documents(
-            _load(spark, sf_dir, "documents"), N_CONVS
-        ).repartition(8).write.mode("overwrite").parquet(input_dir)
-
-        def run_once() -> None:
-            rates = stream_triple_rates(
+    rates = stage(
+        spark,
+        ("stream_rates", sf_dir),
+        lambda: _streamed_with_sentinel_flush(
+            spark,
+            sf_dir,
+            "stream_rates",
+            lambda input_dir, ckpt: stream_triple_rates(
                 spark,
                 input_dir,
-                checkpoint_dir,
+                ckpt,
                 window="10 minutes",
                 watermark="10 minutes",
-            )
-            query = (
-                rates.writeStream.format("parquet")
-                .option("path", output_dir)
-                .option("checkpointLocation", checkpoint_dir + "_q")
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            query.awaitTermination()
-
-        run_once()
-        sentinel = spark.createDataFrame(
-            [("__sentinel__", 0, "user", "x", None)],
-            "conv_id string, turn_idx int, role string, text string,"
-            " tool string",
-        ).withColumn("ts", F.to_timestamp(F.lit("2036-01-01 00:00:00")))
-        sentinel.coalesce(1).write.mode("append").parquet(input_dir)
-        run_once()
-        return spark.read.parquet(output_dir)
-
-    rates = stage(spark, ("stream_rates", sf_dir), build)
+            ),
+        ),
+    )
     return rates.filter(F.col("conv_id") != "__sentinel__").select(
         F.unix_timestamp("window_start").alias("window_epoch"),
         "conv_id",
