@@ -223,3 +223,198 @@ def lsh_topk_cosine(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos")
     )
+
+
+# -- IVF (inverted-file) ANN ---------------------------------------------
+#
+# The second scale path next to hyperplane LSH: partition the corpus
+# into K coarse cells (nearest centroid), probe only the nprobe cells
+# nearest each query. Work per query scales with nprobe/K of the
+# corpus; the cell assignment is ONE narrow broadcast pass over the
+# data (centroids are tiny). The oracle-gated configuration uses the
+# deterministic coarse quantizer (first K corpus vectors by id) so the
+# whole path — assignment, probe, exact re-rank — replays in ANSI SQL;
+# ``ivf_centroids_kmeans`` refines centroids with Lloyd iterations for
+# production quality (tests-gated: iterative averaging has no
+# closed-form SQL twin).
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid_id, cos) for each vector's ``nprobe`` nearest
+    centroids (cosine; ties by centroid_id). Centroids broadcast — the
+    scan stays narrow. CAVEAT (same class as the hyperplane-bucket
+    gates): two centroids at float-association distance of a vector
+    could assign differently across engines; measure-zero on real
+    embeddings."""
+    scored = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).crossJoin(
+        F.broadcast(
+            centroids.select(
+                F.col("centroid_id"), F.col("cvec")
+            )
+        )
+    ).select(
+        "vid",
+        "centroid_id",
+        (
+            _dot(F.col("vec"), F.col("cvec"))
+            / (_norm(F.col("vec")) * _norm(F.col("cvec")))
+        ).alias("ccos"),
+    )
+    window = Window.partitionBy("vid").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(window))
+        .filter(F.col("rnk") <= nprobe)
+        .select("vid", "centroid_id")
+    )
+
+
+def ivf_centroids_deterministic(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse quantizer: the first ``n_centroids`` corpus
+    vectors by id. SQL-replayable (the oracle-gated configuration); for
+    production recall, refine with ``ivf_centroids_kmeans``."""
+    return embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    )
+
+
+def ivf_centroids_kmeans(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-refined centroids: start from the deterministic quantizer,
+    then ``iterations`` rounds of assign -> per-cell component-wise
+    mean. Each round is one broadcast assignment pass + one groupBy —
+    no Python, no per-row UDFs; the centroid table (K x dim doubles)
+    localCheckpoints per round so the plan never compounds. Empty cells
+    keep their previous centroid."""
+    centroids = ivf_centroids_deterministic(
+        embeddings, n_centroids, id_col, vec_col
+    ).select(
+        "centroid_id", F.transform("cvec", lambda x: x.cast("double")).alias("cvec")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(iterations):
+        assigned = ivf_assign(embeddings, centroids, 1, id_col, vec_col)
+        means = (
+            assigned.join(
+                embeddings.select(
+                    F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+                ),
+                "vid",
+            )
+            .select(
+                "centroid_id",
+                F.posexplode(F.col("vec")).alias("comp", "val"),
+            )
+            .groupBy("centroid_id", "comp")
+            .agg(F.avg(F.col("val").cast("double")).alias("mean"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("comp", "mean"))
+                ).alias("pairs")
+            )
+            .select(
+                "centroid_id",
+                F.transform(F.col("pairs"), lambda p: p["mean"]).alias(
+                    "new_cvec"
+                ),
+            )
+        )
+        centroids = centroids.join(means, "centroid_id", "left").select(
+            "centroid_id",
+            F.coalesce(F.col("new_cvec"), F.col("cvec")).alias("cvec"),
+        ).localCheckpoint(eager=True)
+    return centroids
+
+
+def ivf_topk_cosine(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    corpus_assignment: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-flat approximate top-k: assign corpus to nearest centroid,
+    probe each query's ``nprobe`` nearest cells, exact cosine re-rank.
+
+    Output matches ``cosine_topk``: (query_id, neighbor_id, cos).
+    ``centroids``/``corpus_assignment`` inject precomputed tables (the
+    bucket-corpus-ONCE pattern — materialize via ``udfcache.stage`` or
+    a checkpoint table and re-probe per query batch)."""
+    if centroids is None:
+        centroids = ivf_centroids_deterministic(
+            embeddings, n_centroids, id_col, vec_col
+        )
+    if corpus_assignment is None:
+        corpus_assignment = ivf_assign(embeddings, centroids, 1, id_col, vec_col)
+    query_assignment = ivf_assign(queries, centroids, nprobe, id_col, vec_col)
+
+    cand = (
+        query_assignment.select(
+            F.col("vid").alias("query_id"), "centroid_id"
+        )
+        .join(
+            corpus_assignment.select(
+                F.col("vid").alias("neighbor_id"), "centroid_id"
+            ),
+            "centroid_id",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec")
+    )
+    scored = (
+        cand.join(
+            vecs.select(F.col("_vid").alias("query_id"), F.col("_vec").alias("qv")),
+            "query_id",
+        )
+        .join(
+            vecs.select(
+                F.col("_vid").alias("neighbor_id"), F.col("_vec").alias("nv")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("nv"))
+                / (_norm(F.col("qv")) * _norm(F.col("nv"))),
+                4,
+            ).alias("cos"),
+        )
+    )
+    window = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(window))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos")
+    )

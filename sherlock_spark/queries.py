@@ -1155,6 +1155,112 @@ SQL_SIM_LSH_TOPK = f"""
 """
 
 
+# -- IVF ANN (oracle-gated: deterministic coarse quantizer) -------------
+
+_IVF_CENTROIDS = 16
+_IVF_NPROBE = 4
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN — the second scale path next to hyperplane LSH:
+    corpus assigned once to its nearest coarse centroid (staged per
+    session/dataset, the bucket-corpus-ONCE pattern), each query probes
+    its nprobe nearest cells, exact cosine re-rank. The oracle replays
+    the deterministic quantizer (first K corpus vectors), both
+    assignments, the probe, and the re-rank in pure SQL."""
+    from sherlock_spark.functions.similarity import (
+        ivf_assign,
+        ivf_centroids_deterministic,
+        ivf_topk_cosine,
+    )
+
+    embeddings = _load(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") < 8)
+    centroids = stage(
+        spark,
+        ("ivf_centroids", sf_dir, _IVF_CENTROIDS),
+        lambda: ivf_centroids_deterministic(embeddings, _IVF_CENTROIDS),
+    )
+    corpus_assignment = stage(
+        spark,
+        ("ivf_assignment", sf_dir, _IVF_CENTROIDS),
+        lambda: ivf_assign(embeddings, centroids, 1),
+    )
+    return ivf_topk_cosine(
+        embeddings,
+        queries,
+        k=5,
+        n_centroids=_IVF_CENTROIDS,
+        nprobe=_IVF_NPROBE,
+        centroids=centroids,
+        corpus_assignment=corpus_assignment,
+    ).select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        "cos",
+    )
+
+
+SQL_SIM_IVF_TOPK = f"""
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        WHERE vec_id < {_IVF_CENTROIDS}
+    ),
+    u AS (
+        SELECT e.vec_id AS vid, c.cid,
+               unnest(e.embedding) AS a, unnest(c.cvec) AS b
+        FROM embeddings e, cent c
+    ),
+    cc AS (
+        SELECT vid, cid,
+               SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))
+               / (sqrt(SUM(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)))
+                  * sqrt(SUM(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)))) AS ccos
+        FROM u GROUP BY vid, cid
+    ),
+    assign AS (
+        SELECT vid, cid,
+               ROW_NUMBER() OVER (PARTITION BY vid
+                                  ORDER BY ccos DESC, cid ASC) AS rnk
+        FROM cc
+    ),
+    corpus_assign AS (SELECT vid, cid FROM assign WHERE rnk = 1),
+    query_assign AS (
+        SELECT vid, cid FROM assign WHERE rnk <= {_IVF_NPROBE} AND vid < 8
+    ),
+    cand AS (
+        SELECT q.vid AS query_id, c.vid AS neighbor_id
+        FROM query_assign q JOIN corpus_assign c ON q.cid = c.cid
+        WHERE q.vid <> c.vid
+        GROUP BY 1, 2
+    ),
+    u2 AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               unnest(e1.embedding) AS a, unnest(e2.embedding) AS b
+        FROM cand
+        JOIN embeddings e1 ON e1.vec_id = cand.query_id
+        JOIN embeddings e2 ON e2.vec_id = cand.neighbor_id
+    ),
+    s AS (
+        SELECT query_id, neighbor_id,
+               round(SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))
+                     / (sqrt(SUM(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)))
+                        * sqrt(SUM(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)))),
+                     4) AS cos
+        FROM u2 GROUP BY query_id, neighbor_id
+    ),
+    r AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rn
+        FROM s
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id, cos
+    FROM r WHERE rn <= 5
+"""
+
+
 # -- embedding-cosine near-dup (oracle-gated) ---------------------------
 #
 # The synthetic embeddings are i.i.d. random (max pairwise cos ~0.51 at
@@ -1697,6 +1803,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_lsh_topk": q_sim_lsh_topk,
+    "sim_ivf_topk": q_sim_ivf_topk,
     "stream_triples": q_stream_triples,
     "stream_summaries": q_stream_summaries,
     "stream_rates": q_stream_rates,
@@ -1737,6 +1844,7 @@ ORACLES: dict[str, str] = {
     "text_quality": SQL_TEXT_QUALITY,
     "sim_topk_cosine": SQL_SIM_TOPK,
     "sim_lsh_topk": SQL_SIM_LSH_TOPK,
+    "sim_ivf_topk": SQL_SIM_IVF_TOPK,
     "stream_triples": SQL_STREAM_TRIPLES,
     "stream_summaries": SQL_STREAM_SUMMARIES,
     "stream_rates": SQL_STREAM_RATES,

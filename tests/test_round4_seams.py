@@ -349,6 +349,57 @@ def test_conll_reader_scale_shape(spark, tmp_path):
         assert (doc.text, [tuple(m) for m in doc.ments]) == single[n]
 
 
+def test_ivf_kmeans_refinement_separates_clusters(spark):
+    """Lloyd refinement (tests-gated: no SQL twin): on two obvious
+    clusters, 3 iterations from the deterministic quantizer must move
+    the centroids to the cluster means and assign every vector to its
+    own cluster's centroid; probing then returns only same-cluster
+    neighbors."""
+    from pyspark.sql import functions as F
+
+    from sherlock_spark.functions.similarity import (
+        ivf_assign,
+        ivf_centroids_kmeans,
+        ivf_topk_cosine,
+    )
+
+    # 40 vectors, dim 4: ids 0..19 near e0, ids 20..39 near e1
+    base = spark.range(40).select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.array(
+            F.when(F.col("id") < 20, 1.0).otherwise(0.05)
+            + (F.col("id") % 5) * 0.01,
+            F.when(F.col("id") < 20, 0.05).otherwise(1.0),
+            F.lit(0.01) * (F.col("id") % 3),
+            F.lit(0.02),
+        ).alias("embedding"),
+    )
+    centroids = ivf_centroids_kmeans(
+        base, n_centroids=2, iterations=3
+    )
+    assert centroids.count() == 2
+    assigned = ivf_assign(base, centroids, nprobe=1)
+    # every vector lands with its own cluster: exactly 2 cells of 20
+    cells = sorted(
+        row["n"]
+        for row in assigned.groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert cells == [20, 20]
+    # same-cluster purity of probed neighbors (nprobe=1)
+    topk = ivf_topk_cosine(
+        base,
+        base.filter(F.col("vec_id").isin(0, 25)),
+        k=5,
+        nprobe=1,
+        centroids=centroids,
+    ).collect()
+    for row in topk:
+        same = (row["query_id"] < 20) == (row["neighbor_id"] < 20)
+        assert same, row
+
+
 def test_iceberg_detection_and_fallback(spark, tmp_path):
     """The checkpoint manager routes stages through Iceberg only when a
     catalog is BOTH configured and loadable; this sandbox has no Iceberg
