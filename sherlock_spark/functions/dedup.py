@@ -303,18 +303,18 @@ def minhash_dedup_pairs(
 # -- SimHash -------------------------------------------------------------
 
 
-def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
-    """(doc_id, simhash long): sign-sum of per-word xxhash64 bits.
-    Near-duplicate texts differ in few bits (Hamming distance).
-    """
+def _simhash_assemble(documents: DataFrame, bit_of, bits: int) -> DataFrame:
+    """Shared SimHash core: explode words, per-bit sign sums
+    (+1 if the word's bit is set, -1 otherwise), majority vote per bit,
+    fingerprint assembly. ``bit_of(i)`` yields the 0/1 Column for bit
+    ``i`` of the current ``word`` column — the only thing the fast and
+    the portable variants differ in."""
     words = documents.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).withColumn("h", F.xxhash64("word"))
+    )
     bit_sums = words.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
+            F.sum(F.when(bit_of(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
             for i in range(bits)
         ]
     )
@@ -324,6 +324,37 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
         shifted = bit * F.lit(2**i if i < 63 else -(2**63)).cast("long")
         fingerprint = shifted if fingerprint is None else (fingerprint + shifted)
     return bit_sums.select("doc_id", fingerprint.alias("simhash"))
+
+
+def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
+    """(doc_id, simhash long): sign-sum of per-word xxhash64 bits.
+    Near-duplicate texts differ in few bits (Hamming distance). The
+    production path — xxhash64 is one JVM intrinsic per word."""
+    h = F.xxhash64("word")
+    return _simhash_assemble(
+        documents,
+        lambda i: F.shiftright(h, i).bitwiseAND(F.lit(1)),
+        bits,
+    )
+
+
+def simhash_portable(documents: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash whose word-bit function is replayable in ANSI SQL (the
+    oracle twin of ``simhash``): bit i of word w = first decimal digit
+    of md5(w || ':' || i) mod 2 — the same engine-neutral trick as
+    ``model_stub.md5_digit_bucket``. ``bits`` md5 calls per word, so
+    this is the GATE configuration, not the scale path; the sign-sum /
+    majority / assembly core is the exact same code as the fast
+    variant."""
+    def bit_of(i: int):
+        stripped = F.regexp_replace(
+            F.md5(F.concat(F.col("word"), F.lit(f":{i}"))), "[a-f]", ""
+        )
+        return F.substring(F.concat(stripped, F.lit("0")), 1, 1).cast(
+            "int"
+        ) % 2
+
+    return _simhash_assemble(documents, bit_of, bits)
 
 
 def simhash_candidates(

@@ -1155,6 +1155,41 @@ SQL_SIM_LSH_TOPK = f"""
 """
 
 
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints, oracle-gated via the portable variant
+    (``simhash_portable``: word-bit = md5 digit mod 2, replayable in
+    SQL). The sign-sum / majority / fingerprint-assembly core is the
+    same code the production xxhash64 path runs."""
+    from sherlock_spark.functions.dedup import simhash_portable
+
+    return simhash_portable(_load(spark, sf_dir, "documents"), bits=16).select(
+        F.col("doc_id").cast("long"), "simhash"
+    )
+
+
+SQL_DEDUP_SIMHASH = """
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    bits AS (
+        SELECT doc_id, i.i AS bit,
+               CAST(substring(concat(regexp_replace(
+                        md5(word || ':' || i.i), '[a-f]', '', 'g'), '0'),
+                    1, 1) AS INT) % 2 AS b
+        FROM w, (SELECT unnest(generate_series(0, 15)) AS i) i
+    ),
+    sums AS (
+        SELECT doc_id, bit, SUM(CASE WHEN b = 1 THEN 1 ELSE -1 END) AS s
+        FROM bits GROUP BY doc_id, bit
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN power(2, bit) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM sums GROUP BY doc_id
+"""
+
+
 # -- IVF ANN (oracle-gated: deterministic coarse quantizer) -------------
 
 _IVF_CENTROIDS = 16
@@ -1797,6 +1832,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_simhash": q_dedup_simhash,
     "text_token_count": q_text_token_count,
     "text_fingerprint": q_text_fingerprint,
     "text_language_id": q_text_language_id,
@@ -1838,6 +1874,7 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "text_language_id": SQL_TEXT_LANGUAGE_ID,
