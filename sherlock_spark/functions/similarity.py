@@ -285,10 +285,16 @@ def ivf_centroids_deterministic(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Deterministic coarse quantizer: the first ``n_centroids`` corpus
-    vectors by id. SQL-replayable (the oracle-gated configuration); for
+    vectors in id order — an ORDER BY/LIMIT, not ``id < K``, so
+    id-sharded corpora whose ids don't start at 0 still yield K
+    centroids. SQL-replayable (the oracle-gated configuration); for
     production recall, refine with ``ivf_centroids_kmeans``."""
-    return embeddings.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    return (
+        embeddings.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+        )
     )
 
 
@@ -386,17 +392,20 @@ def ivf_topk_cosine(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    vecs = embeddings.select(
-        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec")
-    )
+    # query vectors come from QUERIES (they need not be corpus members —
+    # cosine_topk/lsh_topk_cosine accept external queries, so must this);
+    # neighbor vectors come from the corpus
     scored = (
         cand.join(
-            vecs.select(F.col("_vid").alias("query_id"), F.col("_vec").alias("qv")),
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+            ),
             "query_id",
         )
         .join(
-            vecs.select(
-                F.col("_vid").alias("neighbor_id"), F.col("_vec").alias("nv")
+            embeddings.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("nv"),
             ),
             "neighbor_id",
         )

@@ -206,8 +206,7 @@ def _dir_digest(path: str) -> str:
     import hashlib
 
     hasher = hashlib.md5()
-    for root, dirs, files in sorted(os.walk(path)):
-        dirs.sort()
+    for root, _dirs, files in sorted(os.walk(path)):
         for name in sorted(files):
             full = os.path.join(root, name)
             stat = os.stat(full)
@@ -266,12 +265,25 @@ def _build_ner_model(local_dir: str):
     (``real_model.maybe_real_ner_model``); the deterministic stub
     otherwise. Both satisfy ``predict_tags``; the UDF plumbing around
     them never changes."""
-    from sherlock_spark.operators.real_model import maybe_real_ner_model
+    from sherlock_spark.operators.real_model import (
+        has_hf_checkpoint,
+        maybe_real_ner_model,
+    )
 
     real = maybe_real_ner_model(local_dir)
     if real is not None:
         return real
-    with open(os.path.join(local_dir, "ner_lexicon.json")) as handle:
+    lexicon_path = os.path.join(local_dir, "ner_lexicon.json")
+    if not os.path.exists(lexicon_path) and has_hf_checkpoint(local_dir):
+        # a real checkpoint with no stub lexicon on a torch-less
+        # executor: name the actual problem instead of a misleading
+        # FileNotFoundError on the stub's data file
+        raise RuntimeError(
+            f"bundle {local_dir} holds a real HF checkpoint but "
+            f"torch/transformers are not importable on this executor — "
+            f"install them (or add ner_lexicon.json for the stub)"
+        )
+    with open(lexicon_path) as handle:
         lexicon = json.load(handle)
     return StubNerModel(lexicon)
 

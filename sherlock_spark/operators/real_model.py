@@ -149,11 +149,20 @@ class HfRcModel:
         self.model.eval()
         self.labels = list(labels)
         label2id = getattr(self.model.config, "label2id", None) or {}
-        # column j of the emitted logits = bundle label j; identity when
-        # the checkpoint doesn't name its labels
-        self._col_of = [
-            int(label2id.get(label, j)) for j, label in enumerate(self.labels)
-        ]
+        # column j of the emitted logits = bundle label j. Use the
+        # checkpoint's label2id only when it covers the FULL bundle
+        # vocabulary: a partial map's per-label positional fallback
+        # could route two bundle labels to the same logit column and
+        # silently decode wrong relations. Identity when uncovered.
+        if all(label in label2id for label in self.labels):
+            self._col_of = [int(label2id[label]) for label in self.labels]
+            if len(set(self._col_of)) != len(self._col_of):
+                raise ValueError(
+                    f"checkpoint label2id maps bundle labels to duplicate "
+                    f"columns: {dict(zip(self.labels, self._col_of))}"
+                )
+        else:
+            self._col_of = list(range(len(self.labels)))
         self.batch_size = batch_size
 
     def forward_pairs(

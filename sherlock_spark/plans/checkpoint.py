@@ -143,6 +143,7 @@ class CheckpointManager:
 
         lineage = {
             "stage": stage,
+            "storage": "parquet",
             "n_rows": int(sum(row["count"] for row in partition_counts)),
             "n_partitions": len(partition_counts),
             "partition_rows": {
@@ -180,16 +181,22 @@ class CheckpointManager:
             df = df.repartition(F.col(repartition_by))
         exists = self.spark.catalog.tableExists(table)
         if dedup_keys and exists:
-            view = f"_updates_{stage}"
+            # stage names are directory-safe, not necessarily SQL
+            # identifiers — sanitize the view name; drop it even when
+            # the MERGE fails (a leaked session-global temp view would
+            # shadow the next attempt's data)
+            view = "_updates_" + re.sub(r"\W", "_", stage)
             df.createOrReplaceTempView(view)
-            on = " AND ".join(
-                f"t.{key} <=> s.{key}" for key in dedup_keys
-            )
-            self.spark.sql(
-                f"MERGE INTO {table} t USING {view} s ON {on} "
-                f"WHEN NOT MATCHED THEN INSERT *"
-            )
-            self.spark.catalog.dropTempView(view)
+            try:
+                on = " AND ".join(
+                    f"t.{key} <=> s.{key}" for key in dedup_keys
+                )
+                self.spark.sql(
+                    f"MERGE INTO {table} t USING {view} s ON {on} "
+                    f"WHEN NOT MATCHED THEN INSERT *"
+                )
+            finally:
+                self.spark.catalog.dropTempView(view)
         else:
             df.writeTo(table).using("iceberg").createOrReplace()
 
@@ -201,6 +208,7 @@ class CheckpointManager:
         )
         lineage = {
             "stage": stage,
+            "storage": "iceberg",
             "table": table,
             "n_rows": int(sum(row["count"] for row in partition_counts)),
             "n_partitions": len(partition_counts),
@@ -218,7 +226,17 @@ class CheckpointManager:
         return self.read_stage(stage)
 
     def read_stage(self, stage: str) -> DataFrame:
-        if self.catalog is not None:
+        # dispatch on the storage the stage was actually WRITTEN with
+        # (recorded in its lineage), not the currently detected mode: a
+        # parquet checkpoint must stay resumable after the job gains an
+        # Iceberg runtime (and vice versa) — completion markers are
+        # storage-agnostic, so reads must be too
+        storage = None
+        if self.is_complete(stage):
+            storage = self.lineage(stage).get("storage")
+        if storage is None:
+            storage = "iceberg" if self.catalog is not None else "parquet"
+        if storage == "iceberg":
             return self.spark.read.table(self.stage_table(stage))
         return self.spark.read.parquet(self.stage_path(stage))
 

@@ -1239,7 +1239,7 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SIM_IVF_TOPK = f"""
     WITH cent AS (
         SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-        WHERE vec_id < {_IVF_CENTROIDS}
+        ORDER BY vec_id ASC LIMIT {_IVF_CENTROIDS}
     ),
     u AS (
         SELECT e.vec_id AS vid, c.cid,
@@ -1492,9 +1492,10 @@ def _streamed_with_sentinel_flush(
     input_dir = os.path.join(base, "input")
     output_dir = os.path.join(base, "out")
     checkpoint_dir = os.path.join(base, "ckpt")
-    transcripts_from_documents(
+    transcripts = transcripts_from_documents(
         _load(spark, sf_dir, "documents"), N_CONVS
-    ).repartition(8).write.mode("overwrite").parquet(input_dir)
+    )
+    transcripts.repartition(8).write.mode("overwrite").parquet(input_dir)
 
     def run_once() -> None:
         query = (
@@ -1509,11 +1510,17 @@ def _streamed_with_sentinel_flush(
         query.awaitTermination()
 
     run_once()
+    # sentinel event time derives from the DATA's max ts (+1 year —
+    # far past any gap/watermark/window), never a hardcoded date: a
+    # fixed "2036" would stop advancing the watermark once real event
+    # times grow past it (doc_id-minute arithmetic crosses 2036 at
+    # ~5.3M documents) and state would silently stop flushing
+    max_ts = spark.read.parquet(input_dir).agg(F.max("ts")).collect()[0][0]
     sentinel = spark.createDataFrame(
-        [("__sentinel__", 0, "user", "x", None)],
+        [("__sentinel__", 0, "user", "x", None, max_ts)],
         "conv_id string, turn_idx int, role string, text string,"
-        " tool string",
-    ).withColumn("ts", F.to_timestamp(F.lit("2036-01-01 00:00:00")))
+        " tool string, ts timestamp",
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 365 DAYS"))
     sentinel.coalesce(1).write.mode("append").parquet(input_dir)
     run_once()
     return spark.read.parquet(output_dir)

@@ -214,6 +214,26 @@ def test_real_rc_backend_selected_and_label_ordered(monkeypatch, tmp_path):
     assert (logits.argmax(axis=1) == 2).all()
 
 
+def test_rc_partial_label2id_falls_back_to_identity(monkeypatch, tmp_path):
+    """A checkpoint label2id that does not cover the FULL bundle
+    vocabulary must not be used at all — a per-label positional
+    fallback could route two bundle labels to one logit column and
+    silently decode wrong relations. Identity ordering instead."""
+    calls: list[int] = []
+    install_fake_torch_stack(monkeypatch, calls)
+    from sherlock_spark.operators.real_model import HfRcModel
+
+    ckpt = tmp_path / "rc_partial_ckpt"
+    _write_hf_checkpoint(str(ckpt), rc=True)
+    # fake checkpoint's label2id covers no_relation/per:title/
+    # per:children; 'made:up' is not in it -> identity
+    model = HfRcModel(str(ckpt), ["per:title", "made:up"])
+    assert model._col_of == [0, 1]
+    # full coverage -> checkpoint mapping applies
+    model = HfRcModel(str(ckpt), ["per:children", "no_relation", "per:title"])
+    assert model._col_of == [2, 0, 1]
+
+
 def test_stub_fallback_without_torch(monkeypatch, tmp_path):
     """No torch -> stub, even with a real checkpoint on disk; torch
     present but NO checkpoint -> stub too. Output plumbing identical."""
