@@ -1811,6 +1811,30 @@ SQL_MULTIMODAL_CHUNKS = f"""
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one row per sampled timestamp per
+    video (the real decoder attaches the frame payload at the sampled
+    ts; the sampling grid itself is the oracle-checkable part)."""
+    from sherlock_spark.functions.multimodal import sample_video_frames
+
+    frames = sample_video_frames(_media(spark, sf_dir), every_ms=1000)
+    return frames.select(
+        F.col("media_id").cast("long"),
+        F.col("frame_ts_ms").cast("long"),
+    )
+
+
+SQL_MULTIMODAL_FRAMES = f"""
+    WITH {_MEDIA_SQL}
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(s.s AS BIGINT) AS frame_ts_ms
+    FROM media,
+         LATERAL (SELECT unnest(generate_series(0,
+                      greatest(duration_ms - 1, 0), 1000)) AS s) s
+    WHERE kind = 'video'
+"""
+
+
 # -- registry -----------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1853,6 +1877,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_chunks": q_multimodal_chunks,
+    "multimodal_frames": q_multimodal_frames,
 }
 
 ORACLES: dict[str, str] = {
@@ -1895,4 +1920,5 @@ ORACLES: dict[str, str] = {
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "multimodal_chunks": SQL_MULTIMODAL_CHUNKS,
+    "multimodal_frames": SQL_MULTIMODAL_FRAMES,
 }
