@@ -1811,6 +1811,63 @@ SQL_MULTIMODAL_CHUNKS = f"""
 """
 
 
+def q_multimodal_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end media similarity: binary payload -> batch decode ->
+    16-dim md5 feature -> exact cosine top-k per media item. The oracle
+    recomputes the stub features byte-for-byte from md5 hex and replays
+    the pairwise cosine + top-k; near-duplicate payloads surface as
+    cos ~ 1 pairs. Restricted to query ids < 32 (the probe set — the
+    corpus side stays full)."""
+    from sherlock_spark.functions.multimodal import (
+        _decode_image_bytes,
+        extract_media_features,
+    )
+    from sherlock_spark.functions.similarity import cosine_topk
+
+    features = extract_media_features(
+        _media(spark, sf_dir), decoder=_decode_image_bytes
+    ).select("media_id", "feature")
+    queries = features.filter(F.col("media_id") < 32)
+    return cosine_topk(
+        features, queries, k=3, id_col="media_id", vec_col="feature"
+    ).select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        "cos",
+    )
+
+
+SQL_MULTIMODAL_SIM_TOPK = f"""
+    WITH {_MEDIA_SQL},
+    feats AS (
+        SELECT media_id, j.j AS idx,
+               CAST({_MM_BYTE} AS DOUBLE) AS byteval
+        FROM media, (SELECT unnest(generate_series(0, 15)) AS j) j
+    ),
+    u AS (
+        SELECT q.media_id AS query_id, c.media_id AS neighbor_id,
+               q.byteval AS a, c.byteval AS b
+        FROM feats q JOIN feats c ON q.idx = c.idx
+        WHERE q.media_id < 32 AND q.media_id <> c.media_id
+    ),
+    s AS (
+        SELECT query_id, neighbor_id,
+               round(SUM(a * b) / (sqrt(SUM(a * a)) * sqrt(SUM(b * b))),
+                     4) AS cos
+        FROM u GROUP BY query_id, neighbor_id
+    ),
+    r AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rn
+        FROM s
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id, cos
+    FROM r WHERE rn <= 3
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: one row per sampled timestamp per
     video (the real decoder attaches the frame payload at the sampled
@@ -1878,6 +1935,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_resize": q_multimodal_resize,
     "multimodal_chunks": q_multimodal_chunks,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_sim_topk": q_multimodal_sim_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -1921,4 +1979,5 @@ ORACLES: dict[str, str] = {
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "multimodal_chunks": SQL_MULTIMODAL_CHUNKS,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
+    "multimodal_sim_topk": SQL_MULTIMODAL_SIM_TOPK,
 }
