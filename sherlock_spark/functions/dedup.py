@@ -452,3 +452,48 @@ def embedding_cosine_dedup_pairs(
         )
     )
     return scored.filter(F.col("cos") >= threshold)
+
+
+# -- exact duplicated-substring spans ------------------------------------
+
+
+def duplicated_substring_spans(
+    documents: DataFrame, n: int = 8
+) -> DataFrame:
+    """Span-level exact duplication: every position where a document's
+    ``n``-word shingle also occurs in at least one OTHER document —
+    the ExactSubstr-style training-data contamination signal (span
+    granularity, unlike the document-level Jaccard/MinHash family:
+    boilerplate shared by otherwise-different documents surfaces here
+    and nowhere else).
+
+    Output: (doc_id, pos, n_docs) — word position of each duplicated
+    shingle and how many distinct documents share it. Scale shape: one
+    shuffle keyed on the shingle (positions ride along), one partial-agg
+    count, join back on the shingle — no all-pairs anything; shingle
+    frequency skew is bounded upstream by the corpus (a universal
+    boilerplate shingle costs one hot reduce key, not a pair blowup).
+    Documents shorter than ``n`` words contribute their whole text as
+    one (truncated) shingle, matching ``word_shingles`` semantics.
+    """
+    words = F.split("text", " ")
+    positioned = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.concat_ws(" ", F.slice(words, i + 1, n)).alias("shingle"),
+        ),
+    )
+    occurrences = documents.select(
+        "doc_id", F.explode(positioned).alias("occ")
+    ).select(
+        "doc_id", F.col("occ.pos").alias("pos"), F.col("occ.shingle").alias("shingle")
+    )
+    shared = (
+        occurrences.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    return occurrences.join(shared, "shingle").select(
+        "doc_id", "pos", "n_docs"
+    )

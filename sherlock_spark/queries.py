@@ -1155,6 +1155,44 @@ SQL_SIM_LSH_TOPK = f"""
 """
 
 
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact duplication (ExactSubstr-style): every word
+    position whose 8-word shingle occurs in 2+ documents — boilerplate
+    and cross-document contamination at span granularity, which the
+    doc-level Jaccard/MinHash family cannot see."""
+    from sherlock_spark.functions.dedup import duplicated_substring_spans
+
+    spans = duplicated_substring_spans(
+        _load(spark, sf_dir, "documents"), n=8
+    )
+    return spans.select(
+        F.col("doc_id").cast("long"),
+        F.col("pos").cast("long"),
+        F.col("n_docs").cast("long"),
+    )
+
+
+SQL_DEDUP_SUBSTRING_SPANS = """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, i.i AS pos,
+               array_to_string(words[i.i + 1 : i.i + 8], ' ') AS shingle
+        FROM w, LATERAL (SELECT unnest(generate_series(0,
+                             greatest(len(words) - 8, 0))) AS i) i
+    ),
+    shared AS (
+        SELECT shingle, count(DISTINCT doc_id) AS n_docs
+        FROM occ GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT CAST(o.doc_id AS BIGINT) AS doc_id,
+           CAST(o.pos AS BIGINT) AS pos,
+           CAST(s.n_docs AS BIGINT) AS n_docs
+    FROM occ o JOIN shared s ON o.shingle = s.shingle
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints, oracle-gated via the portable variant
     (``simhash_portable``: word-bit = md5 digit mod 2, replayable in
@@ -1921,6 +1959,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_substring_spans": q_dedup_substring_spans,
     "text_token_count": q_text_token_count,
     "text_fingerprint": q_text_fingerprint,
     "text_language_id": q_text_language_id,
@@ -1965,6 +2004,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_substring_spans": SQL_DEDUP_SUBSTRING_SPANS,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "text_language_id": SQL_TEXT_LANGUAGE_ID,
