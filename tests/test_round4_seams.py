@@ -369,6 +369,35 @@ def test_conll_reader_scale_shape(spark, tmp_path):
         assert (doc.text, [tuple(m) for m in doc.ments]) == single[n]
 
 
+def test_duplicated_substring_spans_positions(spark):
+    """Span-level dedup: shared 8-gram positions reported per document;
+    unique text contributes nothing; short documents fall back to the
+    whole-text shingle like word_shingles."""
+    from sherlock_spark.functions.dedup import duplicated_substring_spans
+
+    boiler = "the quick brown fox jumps over the lazy"
+    rows = [
+        (1, f"{boiler} dog and then some unique tail one"),
+        (2, f"prefix words here {boiler} dog completely different"),
+        (3, "entirely unrelated text with no shared shingles at all ok"),
+        (4, "short shared"),
+        (5, "short shared"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (row["doc_id"], row["pos"]): row["n_docs"]
+        for row in duplicated_substring_spans(docs, n=8).collect()
+    }
+    # doc 1 shares the boilerplate 8-gram at pos 0 (and the shifted
+    # "...lazy dog" 8-gram at pos 1); doc 2 carries them at offset 3
+    assert spans[(1, 0)] == 2 and spans[(2, 3)] == 2
+    assert spans[(1, 1)] == 2 and spans[(2, 4)] == 2
+    # the short exact-duplicate pair surfaces via the whole-text shingle
+    assert spans[(4, 0)] == 2 and spans[(5, 0)] == 2
+    # unique docs contribute no spans
+    assert not any(doc_id == 3 for doc_id, _pos in spans)
+
+
 def test_ivf_kmeans_refinement_separates_clusters(spark):
     """Lloyd refinement (tests-gated: no SQL twin): on two obvious
     clusters, 3 iterations from the deterministic quantizer must move
