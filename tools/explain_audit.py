@@ -133,7 +133,28 @@ def main() -> int:
         plan,
     )
 
-    # 6. CoNLL reader scale shape: the sentence-grouping window is
+    # 6. inference-cache path: the dedup variant's plan must hash-
+    #    partition on the four model keys (serving both the distinct
+    #    and the model-stage spread) and keep the null-safe join —
+    #    never a second round-robin exchange on top
+    from sherlock_spark.queries import q_kg_triples_dedup_inputs
+
+    plan = plan_of(q_kg_triples_dedup_inputs(spark, sf_dir))
+    check(
+        "kg_triples_dedup_inputs: hash exchange on the model keys",
+        re.search(
+            r"hashpartitioning\([^\n]*subj_type[^\n]*obj_type", plan
+        )
+        is not None,
+        plan,
+    )
+    check(
+        "kg_triples_dedup_inputs: no row-at-a-time Python",
+        "BatchEvalPython" not in plan,
+        plan,
+    )
+
+    # 7. CoNLL reader scale shape: the sentence-grouping window is
     #    partitioned per input file — no single-partition global sort —
     #    and the IOB1 decode is Arrow-batched, not row-at-a-time Python
     from sherlock_spark.sources.conll import read_conll2003
