@@ -497,3 +497,48 @@ def duplicated_substring_spans(
     return occurrences.join(shared, "shingle").select(
         "doc_id", "pos", "n_docs"
     )
+
+
+# -- near-dup cluster assignment -----------------------------------------
+
+
+def dedup_clusters(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Cluster-granularity dedup: (doc_id, cluster_id, is_kept).
+
+    The verified duplicate-pair graph (``minhash_dedup_pairs`` /
+    ``ngram_jaccard_pairs`` output) is clustered with the same
+    connected-components operator that canonicalizes KG entities
+    (``operators/canonicalize.py`` — pointer-jumping min-label,
+    O(log diameter) shuffles); the kept representative is the minimum
+    ``doc_id`` per cluster, singletons keep themselves. This is the
+    keep-list a training-data pipeline actually consumes: duplicate
+    PAIRS overcount (a 5-document cluster is 10 pairs) and are not
+    actionable until transitively closed — "drop B because of A, drop
+    C because of B" must not keep C when A survives.
+
+    Node ids are zero-padded so the CC operator's lexicographic
+    min-label equals the numeric min doc_id. Scale shape: the pair
+    graph is tiny relative to the corpus (only near-dups), CC runs on
+    it alone; the corpus join-back is one broadcast-or-shuffle join.
+    """
+    from sherlock_spark.operators.canonicalize import connected_components
+
+    def _pad(col):
+        return F.lpad(F.col(col).cast("string"), 20, "0")
+
+    edges = pairs.select(_pad("doc_a").alias("src"), _pad("doc_b").alias("dst"))
+    comp = connected_components(edges)
+    return (
+        documents.select("doc_id")
+        .join(comp, _pad("doc_id") == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component").cast("long"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
+        )
+        .withColumn(
+            "is_kept",
+            (F.col("cluster_id") == F.col("doc_id")).cast("int"),
+        )
+    )

@@ -121,3 +121,50 @@ def fingerprint(documents: DataFrame) -> DataFrame:
             )
         ).alias("fingerprint"),
     )
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms: (doc_id, term, score, rank).
+
+    tf = raw in-document count, idf = ln(N / df) with df = number of
+    documents containing the term; score = tf * idf rounded to 6
+    decimals BEFORE ranking so the DuckDB oracle ranks the identical
+    key (rank order on the raw double could differ across engines in
+    the last ulp of ln()); residual ties break on the term string.
+    The usual keyword-extraction primitive a pretraining pipeline runs
+    for topic bucketing / quality filters.
+
+    Scale shape: explode -> two hash aggregations (doc-term counts,
+    then document frequency — both map-side combinable), one join on
+    term (df table is corpus-vocabulary-sized; broadcast when small,
+    shuffle join otherwise — left to AQE), corpus size N as a
+    single-row broadcast cross join, and a PER-DOCUMENT window for the
+    top-k (partitioned by doc_id — never a global sort).
+    """
+    from pyspark.sql import Window
+
+    words = documents.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = documents.agg(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    scored = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    window = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(window))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "score", F.col("rank").cast("long").alias("rank"))
+    )

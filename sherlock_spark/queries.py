@@ -1930,6 +1930,325 @@ SQL_MULTIMODAL_FRAMES = f"""
 """
 
 
+# -- KG graph analytics (degree centrality, PageRank) --------------------
+
+
+def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree centrality over the canonical edge table — the hub/
+    authority profile of the materialized KG. Reads the checkpointed
+    graph stages (no model re-run); one unpivot + hash aggregate."""
+    from sherlock_spark.functions.graph import degree_stats
+
+    _nodes, edges = _graph_tables(spark, sf_dir)
+    return degree_stats(
+        edges.select("subj_id", "pred", "obj_id", F.col("n_evidence").cast("long"))
+    )
+
+
+SQL_KG_DEGREE = f"""
+    WITH ce AS ({SQL_KG_CANONICAL_EDGES}),
+    u AS (
+        SELECT subj_id AS node_id, 1 AS out_e, 0 AS in_e, n_evidence FROM ce
+        UNION ALL
+        SELECT obj_id AS node_id, 0 AS out_e, 1 AS in_e, n_evidence FROM ce
+    )
+    SELECT node_id,
+           CAST(SUM(out_e) AS BIGINT) AS out_degree,
+           CAST(SUM(in_e) AS BIGINT) AS in_degree,
+           CAST(SUM(n_evidence) AS BIGINT) AS n_evidence
+    FROM u GROUP BY node_id
+"""
+
+
+_PR_ITERATIONS = 10
+_PR_DAMPING = 0.85
+
+
+def _pagerank_sql(
+    edges_sql: str, iterations: int = _PR_ITERATIONS, damping: float = _PR_DAMPING
+) -> str:
+    """Unroll the fixed-iteration PageRank recurrence as chained CTEs —
+    the exact closed form ``functions.graph.pagerank`` computes, so the
+    compare is deterministic (both engines round to 6 decimals; the
+    iterated double arithmetic agrees to ~1e-13, far inside the
+    compare's 4-decimal granularity).
+
+    Every CTE is ``MATERIALIZED``: each iteration references the
+    previous one three times, so an inlining planner re-expands the
+    base scan ~3^iterations times — the exact plan-doubling failure the
+    Spark loop cuts with per-iteration ``localCheckpoint`` (observed
+    here as DuckDB exhausting file handles re-opening the parquet)."""
+    parts = [
+        f"WITH ce AS MATERIALIZED ({edges_sql})",
+        "e AS MATERIALIZED (SELECT DISTINCT subj_id AS src,"
+        " obj_id AS dst FROM ce)",
+        "n AS MATERIALIZED (SELECT src AS node FROM e"
+        " UNION SELECT dst AS node FROM e)",
+        "m AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE)"
+        " AS n_nodes FROM n)",
+        "outd AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE)"
+        " AS outdeg FROM e GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT node,"
+        " (SELECT 1.0 / n_nodes FROM m) AS pr FROM n)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"c{i} AS MATERIALIZED"
+            f" (SELECT e.dst AS node, SUM(r.pr / o.outdeg) AS contrib"
+            f" FROM r{i} r JOIN e ON e.src = r.node"
+            f" JOIN outd o ON o.src = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.pr), 0) AS dangling"
+            f" FROM r{i} r LEFT JOIN outd o ON o.src = r.node"
+            f" WHERE o.src IS NULL)"
+        )
+        parts.append(
+            f"r{i + 1} AS MATERIALIZED (SELECT n.node,"
+            f" (1 - {damping}) / (SELECT n_nodes FROM m)"
+            f" + {damping} * (COALESCE(c.contrib, 0)"
+            f" + (SELECT dangling FROM d{i}) / (SELECT n_nodes FROM m)) AS pr"
+            f" FROM n LEFT JOIN c{i} c ON c.node = n.node)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node AS node_id, ROUND(pr, 6) AS pagerank"
+        f" FROM r{iterations}"
+    )
+
+
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the canonical KG (GraphFrames-style
+    iterative DataFrame joins, per-iteration localCheckpoint). The
+    oracle unrolls the identical recurrence as SQL CTEs."""
+    from sherlock_spark.functions.graph import pagerank
+
+    _nodes, edges = _graph_tables(spark, sf_dir)
+    ranks = pagerank(
+        edges.select("subj_id", "obj_id"),
+        iterations=_PR_ITERATIONS,
+        damping=_PR_DAMPING,
+    )
+    return ranks.select("node_id", F.round("pr", 6).alias("pagerank"))
+
+
+SQL_KG_PAGERANK = _pagerank_sql(SQL_KG_CANONICAL_EDGES)
+
+
+# -- near-dup cluster assignment -----------------------------------------
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the verified near-dup pairs into keep-list
+    clusters (connected components — the same operator that
+    canonicalizes KG entities). Reuses the staged MinHash corpus tables,
+    so only CC + the corpus join-back run here."""
+    from sherlock_spark.functions.dedup import (
+        dedup_clusters,
+        minhash_band_buckets,
+        word_shingles,
+    )
+
+    documents = _load(spark, sf_dir, "documents")
+    buckets = stage(
+        spark,
+        ("minhash_buckets", sf_dir, 32, 16, 3),
+        lambda: minhash_band_buckets(documents, 32, 16, 3),
+    )
+    shingles = stage(
+        spark,
+        ("minhash_shingles", sf_dir, 3),
+        lambda: word_shingles(documents, 3),
+    )
+    pairs = minhash_dedup_pairs(
+        documents,
+        threshold=0.8,
+        n_hashes=32,
+        bands=16,
+        band_buckets=buckets,
+        shingles=shingles,
+    )
+    return dedup_clusters(documents, pairs)
+
+
+# pair graph replayed from the exact n-gram oracle (== the MinHash
+# output on this corpus, per SQL_DEDUP_MINHASH's measured-recall note);
+# the closure itself is a recursive CTE computing min reachable doc_id.
+SQL_DEDUP_CLUSTERS = f"""
+    WITH RECURSIVE pairs AS ({SQL_DEDUP_NGRAM}),
+    e(src, dst) AS (
+        SELECT doc_a, doc_b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT src, src FROM e
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(c.cluster, d.doc_id) AS cluster_id,
+           CAST(CASE WHEN COALESCE(c.cluster, d.doc_id) = d.doc_id
+                     THEN 1 ELSE 0 END AS INT) AS is_kept
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
+# -- TF-IDF keyword extraction -------------------------------------------
+
+
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sherlock_spark.functions.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_load(spark, sf_dir, "documents"), k=3)
+
+
+SQL_TEXT_TFIDF = """
+    WITH w AS (
+        SELECT doc_id,
+               unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM w WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * ln((SELECT n_docs FROM n) / df.df), 6) AS score
+        FROM tf JOIN df ON tf.term = df.term
+    ),
+    ranked AS (
+        SELECT doc_id, term, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term ASC) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+"""
+
+
+# -- incremental KG construction (two-batch == one-batch) ----------------
+
+
+def q_kg_incremental_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's idempotent-resume clause, gated end-to-end: the
+    corpus is split into two batches by conv_id hash parity, each batch
+    runs the FULL extraction independently (per-batch NER + RC — the
+    incremental arrival pattern of ``plans/checkpoint.py``), and the
+    merge step recomputes canonicalization over the accumulated link
+    table and re-aggregates edge evidence over the unioned triples.
+    The result must hash-equal the single-batch canonical-edge oracle:
+    extraction is per-turn (batch-parallel by construction) and the
+    evidence aggregate is associative, so batch boundaries are
+    invisible — exactly what makes resume-from-checkpoint sound.
+    Canonicalization is deliberately NOT incremental: CC must see the
+    union of link edges (a cross-batch alias can merge two clusters),
+    and the link graph is vocabulary-sized, cheap to recompute."""
+    t = _transcripts(spark, sf_dir)
+    alias_df = make_alias_df(spark, CANON_ALIASES)
+    triples_parts = []
+    links_parts = []
+    for parity in (0, 1):
+        batch = t.filter(F.crc32(F.col("conv_id")) % 2 == parity)
+        ann = annotate_mentions(spark, batch, DEFAULT_NER_LEXICON).select(
+            "conv_id", "turn_idx", "words", "ments"
+        )
+        links_parts.append(linked_mentions(ann, alias_df))
+        triples_parts.append(
+            extract_triples(
+                spark,
+                ann,
+                labels=DEFAULT_RC_LABELS,
+                rule_map=None,
+                entity_handling="mark_entity",
+                max_length=None,
+                max_mentions=MAX_MENTIONS,
+            )
+        )
+    canonical_map = canonicalize(links_parts[0].unionByName(links_parts[1]))
+    triples = triples_parts[0].unionByName(triples_parts[1])
+    _nodes, edges = materialize_graph(triples, canonical_map)
+    return edges.select(
+        "subj_id", "pred", "obj_id", F.col("n_evidence").cast("long")
+    )
+
+
+# -- corpus cleaning pipeline (language x quality x dedup keep-list) -----
+
+_CLEAN_MIN_QUALITY = 0.58
+
+
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4-style cleaning composition a pretraining pipeline actually
+    ships: keep documents that are (a) confidently English, (b) above
+    the quality bar, and (c) the kept representative of their near-dup
+    cluster. All three signals are prior gated queries composed into
+    one plan — three corpus scans that Catalyst collapses onto the same
+    cached source, two broadcast-or-shuffle joins on doc_id. The
+    quality threshold compares the 4-decimal ROUNDED score, so the
+    cross-engine float compare is exact."""
+    from sherlock_spark.functions.dedup import (
+        dedup_clusters,
+        minhash_band_buckets,
+        word_shingles,
+    )
+    from sherlock_spark.functions.textstats import language_id
+
+    documents = _load(spark, sf_dir, "documents")
+    lang = language_id(documents).select("doc_id", "pred_lang")
+    qual = quality_score(with_text_stats(documents)).select("doc_id", "quality")
+    buckets = stage(
+        spark,
+        ("minhash_buckets", sf_dir, 32, 16, 3),
+        lambda: minhash_band_buckets(documents, 32, 16, 3),
+    )
+    shingles = stage(
+        spark,
+        ("minhash_shingles", sf_dir, 3),
+        lambda: word_shingles(documents, 3),
+    )
+    pairs = minhash_dedup_pairs(
+        documents,
+        threshold=0.8,
+        n_hashes=32,
+        bands=16,
+        band_buckets=buckets,
+        shingles=shingles,
+    )
+    clusters = dedup_clusters(documents, pairs)
+    return (
+        documents.select("doc_id")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(clusters, "doc_id")
+        .filter(
+            (F.col("pred_lang") == "en")
+            & (F.col("quality") >= _CLEAN_MIN_QUALITY)
+            & (F.col("is_kept") == 1)
+        )
+        .select("doc_id", "pred_lang", "quality", "cluster_id")
+    )
+
+
+SQL_PIPELINE_CLEAN = f"""
+    WITH lang AS ({SQL_TEXT_LANGUAGE_ID}),
+    qual AS ({SQL_TEXT_QUALITY}),
+    clusters AS ({SQL_DEDUP_CLUSTERS})
+    SELECT d.doc_id, l.pred_lang, q.quality, c.cluster_id
+    FROM documents d
+    JOIN lang l ON l.doc_id = d.doc_id
+    JOIN qual q ON q.doc_id = d.doc_id
+    JOIN clusters c ON c.doc_id = d.doc_id
+    WHERE l.pred_lang = 'en' AND q.quality >= {_CLEAN_MIN_QUALITY}
+      AND c.is_kept = 1
+"""
+
+
 # -- registry -----------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1941,6 +2260,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_links": q_kg_links,
     "kg_canonical_edges": q_kg_canonical_edges,
     "kg_canonical_nodes": q_kg_canonical_nodes,
+    "kg_degree": q_kg_degree,
+    "kg_pagerank": q_kg_pagerank,
+    "kg_incremental_edges": q_kg_incremental_edges,
+    "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_region_revenue": q_rel_region_revenue,
     "rel_forecast_revenue": q_rel_forecast_revenue,
@@ -1960,7 +2283,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_simhash": q_dedup_simhash,
     "dedup_substring_spans": q_dedup_substring_spans,
+    "dedup_clusters": q_dedup_clusters,
     "text_token_count": q_text_token_count,
+    "text_tfidf_topk": q_text_tfidf_topk,
     "text_fingerprint": q_text_fingerprint,
     "text_language_id": q_text_language_id,
     "text_quality": q_text_quality,
@@ -1986,6 +2311,10 @@ ORACLES: dict[str, str] = {
     "kg_links": SQL_KG_LINKS,
     "kg_canonical_edges": SQL_KG_CANONICAL_EDGES,
     "kg_canonical_nodes": SQL_KG_CANONICAL_NODES,
+    "kg_degree": SQL_KG_DEGREE,
+    "kg_pagerank": SQL_KG_PAGERANK,
+    "kg_incremental_edges": SQL_KG_CANONICAL_EDGES,
+    "pipeline_clean_corpus": SQL_PIPELINE_CLEAN,
     "rel_pricing_summary": SQL_REL_PRICING_SUMMARY,
     "rel_region_revenue": SQL_REL_REGION_REVENUE,
     "rel_forecast_revenue": SQL_REL_FORECAST_REVENUE,
@@ -2005,7 +2334,9 @@ ORACLES: dict[str, str] = {
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_substring_spans": SQL_DEDUP_SUBSTRING_SPANS,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
+    "text_tfidf_topk": SQL_TEXT_TFIDF,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "text_language_id": SQL_TEXT_LANGUAGE_ID,
     "text_quality": SQL_TEXT_QUALITY,

@@ -1,0 +1,148 @@
+"""Graph analytics (degree, PageRank) and near-dup cluster assignment.
+
+PageRank is pinned against an independent NumPy power-iteration on the
+same graph; dedup_clusters against a hand-computed transitive closure
+with a chain (A-B, B-C must all collapse to one cluster) plus a
+singleton; TF-IDF against closed-form ln() arithmetic.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from sherlock_spark.functions.dedup import dedup_clusters
+from sherlock_spark.functions.graph import degree_stats, pagerank
+from sherlock_spark.functions.textstats import tfidf_top_terms
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj_id string, pred string, obj_id string, n_evidence long"
+    )
+
+
+def test_degree_stats(spark):
+    edges = _edges(
+        spark,
+        [
+            ("a", "p1", "b", 3),
+            ("a", "p2", "b", 1),
+            ("b", "p1", "c", 2),
+        ],
+    )
+    got = {
+        r["node_id"]: (r["out_degree"], r["in_degree"], r["n_evidence"])
+        for r in degree_stats(edges).collect()
+    }
+    assert got == {
+        "a": (2, 0, 4),
+        "b": (1, 2, 6),
+        "c": (0, 1, 2),
+    }
+
+
+def _numpy_pagerank(edge_list, iterations=10, damping=0.85):
+    nodes = sorted({n for e in edge_list for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = {}
+    for s, d in set(edge_list):
+        out.setdefault(s, set()).add(d)
+    pr = [1.0 / n] * n
+    for _ in range(iterations):
+        nxt = [0.0] * n
+        dangling = sum(
+            pr[idx[v]] for v in nodes if v not in out
+        )
+        for s, ds in out.items():
+            share = pr[idx[s]] / len(ds)
+            for d in ds:
+                nxt[idx[d]] += share
+        pr = [
+            (1 - damping) / n + damping * (nxt[i] + dangling / n)
+            for i in range(n)
+        ]
+    return {v: pr[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_power_iteration(spark):
+    # hub, chain, dangling node, and a duplicate-pred multi-edge that
+    # must collapse to one transition
+    edge_list = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("a", "b"),  # duplicate
+        ("c", "e"),              # e dangles
+    ]
+    edges = spark.createDataFrame(
+        [(s, "p", d, 1) for s, d in edge_list],
+        "subj_id string, pred string, obj_id string, n_evidence long",
+    )
+    got = {
+        r["node_id"]: r["pr"]
+        for r in pagerank(edges.select("subj_id", "obj_id")).collect()
+    }
+    want = _numpy_pagerank(edge_list)
+    assert set(got) == set(want)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=1e-12)
+    # ranks stay a probability distribution (dangling mass recycled)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_empty_graph(spark):
+    edges = _edges(spark, [])
+    assert pagerank(edges.select("subj_id", "obj_id")).count() == 0
+
+
+def test_dedup_clusters_chain_and_singleton(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 9, 10, 40)], "doc_id long"
+    )
+    # chain 1-2-3 (transitive), pair 9-40; 10 is a singleton. 9-40 also
+    # checks the zero-padding: lexicographic "40" < "9" must NOT win.
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.85), (40, 9, 0.88)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_kept"])
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert got == {
+        1: (1, 1),
+        2: (1, 0),
+        3: (1, 0),
+        9: (9, 1),
+        40: (9, 0),
+        10: (10, 1),
+    }
+
+
+def test_tfidf_top_terms(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "durian durian durian"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["term"], r["score"])
+        )
+    for v in by_doc.values():
+        v.sort()
+    ln3 = math.log(3.0)
+    ln15 = math.log(1.5)
+    assert by_doc[1] == [
+        (1, "apple", round(2 * ln3, 6)),
+        (2, "banana", round(1 * ln15, 6)),
+    ]
+    assert by_doc[3] == [(1, "durian", round(3 * ln3, 6))]
+    # doc 2: both terms tf=1; cherry (df=1) outscores banana (df=2)
+    assert [t for _, t, _ in by_doc[2]] == ["cherry", "banana"]

@@ -175,6 +175,71 @@ def main() -> int:
         plan,
     )
 
+    # 8. round-4 additions: graph analytics + text pipeline stay JVM-side
+    #    with scale-safe shapes
+    from sherlock_spark.queries import (
+        q_kg_degree,
+        q_pipeline_clean_corpus,
+        q_text_tfidf_topk,
+    )
+
+    # degree_stats operator shape in isolation (q_kg_degree's full plan
+    # also contains materialize_graph's canonical-resolve joins upstream
+    # — correct, but not what this check pins): unpivot = Union, ONE
+    # aggregation boundary, no self-join
+    from sherlock_spark.functions.graph import degree_stats
+
+    edges_df = spark.createDataFrame(
+        [("a", "p", "b", 1)],
+        "subj_id string, pred string, obj_id string, n_evidence long",
+    )
+    plan = plan_of(degree_stats(edges_df))
+    check(
+        "degree_stats: unpivot + aggregate, no join",
+        "Join" not in plan and "Union" in plan,
+        plan,
+    )
+    check(
+        "degree_stats: map-side partial aggregation",
+        plan.count("HashAggregate") >= 2,
+        plan,
+    )
+    plan = plan_of(q_kg_degree(spark, sf_dir))
+    check(
+        "kg_degree: no Python stages (JVM aggregation over staged edges)",
+        "BatchEvalPython" not in plan,
+        plan,
+    )
+
+    plan = plan_of(q_text_tfidf_topk(spark, sf_dir))
+    check(
+        "tfidf: window partitioned per document (never global)",
+        re.search(r"windowspecdefinition\(doc_id", plan) is not None,
+        plan,
+    )
+    check(
+        "tfidf: top-k pushed to partial WindowGroupLimit (map-side)",
+        re.search(r"WindowGroupLimit .*Partial", plan) is not None,
+        plan,
+    )
+    check(
+        "tfidf: only the scalar corpus-count exchanges to one partition",
+        plan.count("Exchange SinglePartition") <= 1,
+        plan,
+    )
+    check(
+        "tfidf: all-JVM (no Python rows, no BatchEvalPython)",
+        "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan,
+        plan,
+    )
+
+    plan = plan_of(q_pipeline_clean_corpus(spark, sf_dir))
+    check(
+        "clean_corpus: no row-at-a-time Python in the composition",
+        "BatchEvalPython" not in plan,
+        plan,
+    )
+
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
