@@ -366,6 +366,12 @@ def ivf_topk_cosine(
     """IVF-flat approximate top-k: assign corpus to nearest centroid,
     probe each query's ``nprobe`` nearest cells, exact cosine re-rank.
 
+    Recall is MEASURED, not argued (``tools/recall_study.py`` at sf0.1,
+    i.i.d.-random vectors — the hard case): 0.38 at nprobe 1/16 cells,
+    0.62 at 4/16 (gate config), 0.82 at 8/16, 0.66 at 4/32; recall
+    tracks the scanned corpus fraction (~nprobe/n_centroids) and more
+    cells buys recall at fixed cost. Table in BASELINE.md.
+
     Output matches ``cosine_topk``: (query_id, neighbor_id, cos).
     ``centroids``/``corpus_assignment`` inject precomputed tables (the
     bucket-corpus-ONCE pattern — materialize via ``udfcache.stage`` or

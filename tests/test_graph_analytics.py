@@ -146,3 +146,50 @@ def test_tfidf_top_terms(spark):
     assert by_doc[3] == [(1, "durian", round(3 * ln3, 6))]
     # doc 2: both terms tf=1; cherry (df=1) outscores banana (df=2)
     assert [t for _, t, _ in by_doc[2]] == ["cherry", "banana"]
+
+
+# -- property: cluster assignment == union-find closure ------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _union_find_clusters(doc_ids, pair_list):
+    parent = {d: d for d in doc_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress fully, then label every doc with its root (= min id)
+    return {d: find(d) for d in doc_ids}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_dedup_clusters_matches_union_find(spark, pair_list):
+    doc_ids = sorted(set(range(8)) | {d for p in pair_list for d in p})
+    docs = spark.createDataFrame([(d,) for d in doc_ids], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pair_list] or [],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert got == _union_find_clusters(doc_ids, pair_list)

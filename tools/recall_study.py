@@ -3,7 +3,7 @@
 The oracle gates pin exact-verified OUTPUT correctness but the recall of
 the bucketing itself was design-argued; this harness attaches numbers
 to the knobs (``similarity.py lsh_topk_cosine`` docstring,
-``dedup.py minhash_dedup_pairs``). Three studies:
+``dedup.py minhash_dedup_pairs``). Four studies:
 
 1. ANN top-k recall: ``lsh_topk_cosine`` vs exact ``cosine_topk`` on
    the raw embeddings (i.i.d. random — the HARD case: neighbors sit at
@@ -14,6 +14,10 @@ to the knobs (``similarity.py lsh_topk_cosine`` docstring,
    exists for), same settings.
 3. MinHash near-dup recall: ``minhash_dedup_pairs`` vs exact
    ``ngram_jaccard_pairs`` at J>=0.8, across band settings.
+4. IVF top-k recall: ``ivf_topk_cosine`` vs exact ``cosine_topk`` on
+   the same random embeddings, across (n_centroids, nprobe) — the
+   recall/cost trade is nprobe/n_centroids (fraction of the corpus
+   scanned per query).
 
 Run: ``python tools/recall_study.py [sf_dir]``. Prints one JSON line
 per (study, setting) plus a markdown table for BASELINE.md.
@@ -39,6 +43,9 @@ from sherlock_spark.functions.dedup import (  # noqa: E402
 from sherlock_spark.functions.similarity import (  # noqa: E402
     cosine_topk,
     hyperplane_lsh_candidates,
+    ivf_assign,
+    ivf_centroids_deterministic,
+    ivf_topk_cosine,
     lsh_topk_cosine,
 )
 
@@ -46,6 +53,7 @@ N_QUERIES = 64
 K = 10
 ANN_SETTINGS = [(16, 4), (16, 8), (32, 4)]  # (planes, bands)
 MINHASH_SETTINGS = [(32, 16), (32, 8), (64, 16)]  # (hashes, bands)
+IVF_SETTINGS = [(16, 1), (16, 4), (16, 8), (32, 4)]  # (n_centroids, nprobe)
 CLONE_STEP = 5
 CLONE_OFFSET = 100_000
 
@@ -86,6 +94,39 @@ def main() -> None:
                 "study": "ann_topk_random",
                 "planes": planes,
                 "bands": bands,
+                "recall": round(recall, 4),
+                "candidate_pairs": n_cand,
+            }
+        )
+
+    # -- 1b. IVF top-k on the same random embeddings --------------------
+    for n_centroids, nprobe in IVF_SETTINGS:
+        approx = {query: set() for query in exact}
+        for row in ivf_topk_cosine(
+            emb, queries, k=K, n_centroids=n_centroids, nprobe=nprobe
+        ).collect():
+            approx[row["query_id"]].add(row["neighbor_id"])
+        recall = sum(
+            len(exact[q] & approx[q]) / max(len(exact[q]), 1) for q in exact
+        ) / len(exact)
+        cents = ivf_centroids_deterministic(emb, n_centroids)
+        n_cand = (
+            ivf_assign(queries, cents, nprobe)
+            .select(F.col("vid").alias("query_id"), "centroid_id")
+            .join(
+                ivf_assign(emb, cents, 1).select(
+                    F.col("vid").alias("neighbor_id"), "centroid_id"
+                ),
+                "centroid_id",
+            )
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .count()
+        )
+        results.append(
+            {
+                "study": "ivf_topk_random",
+                "centroids": n_centroids,
+                "nprobe": nprobe,
                 "recall": round(recall, 4),
                 "candidate_pairs": n_cand,
             }
@@ -163,10 +204,15 @@ def main() -> None:
     print("\n| study | setting | recall | cost (candidate pairs) |")
     print("|---|---|---|---|")
     for record in results:
-        setting = (
-            f"{record.get('planes', record.get('hashes'))} x "
-            f"{record['bands']} bands"
-        )
+        if "centroids" in record:
+            setting = (
+                f"{record['centroids']} cells, nprobe {record['nprobe']}"
+            )
+        else:
+            setting = (
+                f"{record.get('planes', record.get('hashes'))} x "
+                f"{record['bands']} bands"
+            )
         cost = record.get("candidate_pairs", "-")
         print(
             f"| {record['study']} | {setting} | {record['recall']} | {cost} |"
