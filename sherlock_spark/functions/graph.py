@@ -104,11 +104,23 @@ def pagerank(
         .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("inv_outdeg"))
         .localCheckpoint(eager=True)
     )
-    src_nodes = outdeg.select(F.col("src").alias("node")).localCheckpoint(
-        eager=True
+    # the DANGLING SET is static (nodes with no out-edges) — flag it
+    # ONCE before the loop, so each iteration's dangling-mass term is a
+    # filter + scalar aggregate over the rank vector instead of an
+    # anti-join against the out-degree table
+    flagged = (
+        nodes.join(
+            outdeg.select(
+                F.col("src").alias("node"), F.lit(True).alias("_has_out")
+            ),
+            "node",
+            "left",
+        )
+        .select("node", F.col("_has_out").isNull().alias("is_dangling"))
+        .localCheckpoint(eager=True)
     )
 
-    ranks = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
+    ranks = flagged.withColumn("pr", F.lit(1.0 / n_nodes))
     base = (1.0 - damping) / n_nodes
     for _ in range(iterations):
         contrib = (
@@ -116,14 +128,15 @@ def pagerank(
             .groupBy(F.col("dst").alias("node2"))
             .agg(F.sum(F.col("pr") * F.col("inv_outdeg")).alias("contrib"))
         )
-        dangling = ranks.join(src_nodes, "node", "left_anti").agg(
+        dangling = ranks.filter("is_dangling").agg(
             F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dangling")
         )
         ranks = (
-            nodes.join(contrib, nodes.node == contrib.node2, "left")
+            flagged.join(contrib, flagged.node == contrib.node2, "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "is_dangling",
                 (
                     F.lit(base)
                     + F.lit(damping)
@@ -136,3 +149,141 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select(F.col("node").alias("node_id"), "pr")
+
+
+def bfs_depths(
+    edges: DataFrame,
+    max_hops: int = 6,
+    source: str | None = None,
+    undirected: bool = True,
+) -> DataFrame:
+    """Level-synchronous BFS: (node_id, dist) for every node within
+    ``max_hops`` of the source (default: the lexicographic-min node —
+    deterministic without a caller-supplied id).
+
+    Fixed hop bound (not run-to-frontier-empty) so the result is a
+    closed form the DuckDB oracle replays as ``max_hops`` unrolled
+    CTE steps. Each hop is ONE join of the (small) frontier against
+    the checkpointed edge table plus an anti-join against the visited
+    set — the frontier never exceeds the reachable node count, and the
+    visited set grows monotonically, so per-hop cost is bounded by
+    |frontier| x avg-degree. Per-hop eager ``localCheckpoint`` cuts the
+    lineage exactly like the PageRank/CC loops (without it the visited
+    plan doubles per hop). At 10^9 edges the frontier join shuffles on
+    node id and the edge table is re-read from checkpoint blocks — no
+    driver-side state beyond the loop counter.
+    """
+    e = edges.select(
+        F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+    )
+    if undirected:
+        e = e.unionAll(
+            edges.select(
+                F.col("obj_id").alias("src"), F.col("subj_id").alias("dst")
+            )
+        )
+    e = e.distinct().localCheckpoint(eager=True)
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    if source is None:
+        row = nodes.agg(F.min("node").alias("m")).first()
+        if row is None or row["m"] is None:
+            return e.sparkSession.createDataFrame(
+                [], "node_id string, dist int"
+            )
+        source = row["m"]
+    visited = (
+        e.sparkSession.createDataFrame([(source, 0)], "node string, dist int")
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited.select(F.col("node").alias("node_id"), "dist")
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over the undirected simple graph:
+    (node_id, n_triangles), nodes in >= 1 triangle only.
+
+    Degree-ordered orientation (each undirected edge points from the
+    lower-(degree, id) endpoint to the higher) bounds the wedge
+    explosion: a degree-d hub generates wedges only from its ORIENTED
+    out-edges, and orientation caps every out-degree at O(sqrt(|E|))
+    for any graph — the standard fix that makes the wedge join
+    skew-safe where naive id-ordering lets one low-id celebrity emit
+    O(d^2) candidates. Each triangle is then found exactly once
+    (its unique orientation-respecting wedge + closing edge), so
+    per-node counts are a map-side explode + one hash aggregate.
+    Total cost: two shuffles (wedge self-join, closure join) over the
+    oriented edge table.
+    """
+    und = (
+        edges.select(
+            F.least("subj_id", "obj_id").alias("a"),
+            F.greatest("subj_id", "obj_id").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(lower_first, F.col("deg_b"))
+            .otherwise(F.col("deg_a"))
+            .alias("dst_deg"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1 = oriented.select(
+        F.col("src").alias("s"),
+        F.col("dst").alias("v1"),
+        F.col("dst_deg").alias("d1"),
+    )
+    e2 = oriented.select(
+        F.col("src").alias("s"),
+        F.col("dst").alias("v2"),
+        F.col("dst_deg").alias("d2"),
+    )
+    # wedge (s, v1, v2) with rank(v1) < rank(v2) in the same
+    # (degree, id) order the orientation used — each unordered pair of
+    # out-neighbours enumerated once
+    wedges = e1.join(e2, "s").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("v1"), F.col("dst").alias("v2")
+    )
+    tris = wedges.join(closing, ["v1", "v2"]).select("s", "v1", "v2")
+    return (
+        tris.select(
+            F.explode(F.array("s", "v1", "v2")).alias("node_id")
+        )
+        .groupBy("node_id")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
