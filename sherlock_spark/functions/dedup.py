@@ -542,3 +542,33 @@ def dedup_clusters(documents: DataFrame, pairs: DataFrame) -> DataFrame:
             (F.col("cluster_id") == F.col("doc_id")).cast("int"),
         )
     )
+
+
+# -- benchmark decontamination -------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame, benchmark: DataFrame, n: int = 5
+) -> DataFrame:
+    """Drop corpus documents sharing ANY word n-gram with a benchmark
+    (eval-set) document — the standard pretraining decontamination pass
+    (13-gram in the GPT-3/PaLM recipes; ``n`` is a knob because the
+    synthetic corpus' documents are short).
+
+    Scale shape: the benchmark is always tiny relative to the corpus
+    (thousands of eval rows vs 100 TB), so its distinct shingle set is
+    BROADCAST and the contamination test is a map-side semi-join on the
+    corpus shingles — the corpus is scanned once, nothing shuffles it.
+    The final anti-join keys on doc_id against the (small) contaminated
+    id set, also broadcast-able.
+    """
+    bench_shingles = (
+        word_shingles(benchmark, n).select("shingle").distinct()
+    )
+    contaminated = (
+        word_shingles(corpus, n)
+        .join(F.broadcast(bench_shingles), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return corpus.join(contaminated, "doc_id", "left_anti")

@@ -168,3 +168,81 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "score", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# -- deterministic stratified sampling ------------------------------------
+
+
+def stratified_sample(
+    documents: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    stratum_col: str = "lang",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Hash-deterministic stratified sampling — the domain-mixing
+    primitive of a pretraining data recipe ("keep 50% of en, 20% of de,
+    ..."). A document is kept iff the first 8 hex chars of
+    ``md5(salt || ':' || doc_id)`` sort below the stratum's threshold.
+
+    Deterministic and engine-portable by construction (md5 of the same
+    string, lexicographic hex compare — no RNG, no float rounding), so
+    re-runs, retries, and incremental appends sample the SAME rows:
+    the property that makes a 100-TB sampling job resumable. Pure
+    map-side — one projection + filter, no shuffle; the rate CASE is a
+    broadcast-free literal expression.
+    """
+
+    def threshold(rate: float) -> str:
+        return format(min(max(int(rate * 16**8), 0), 16**8), "08x")
+
+    bucket = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(salt + ":"), F.col("doc_id").cast("string")
+            )
+        ),
+        1,
+        8,
+    )
+    expr = F.lit(threshold(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        expr = F.when(
+            F.col(stratum_col) == stratum, F.lit(threshold(rate))
+        ).otherwise(expr)
+    return documents.filter(bucket < expr)
+
+
+# -- PII redaction ---------------------------------------------------------
+
+# portable (Java regex + RE2) patterns: no backrefs, no lookaround
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PHONE_REGEX = r"\+?[0-9]{1,2}[- ][0-9]{3}[- .][0-9]{3}[- .][0-9]{4}"
+
+
+def redact_pii(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Replace email addresses and phone-number shapes with typed
+    placeholder tokens, reporting per-document match counts.
+
+    Both patterns avoid Java-only regex features (backreferences,
+    lookaround) so the same strings compile identically under RE2 —
+    the oracle replays them verbatim. All JVM column expressions
+    (regexp_count / regexp_replace): map-side, codegen'd, no Python.
+    """
+    text = F.col(text_col)
+    return documents.withColumns(
+        {
+            "n_emails": F.regexp_count(text, F.lit(EMAIL_REGEX)).cast("long"),
+            "n_phones": F.regexp_count(
+                F.regexp_replace(text, EMAIL_REGEX, "<EMAIL>"),
+                F.lit(PHONE_REGEX),
+            ).cast("long"),
+            text_col: F.regexp_replace(
+                F.regexp_replace(text, EMAIL_REGEX, "<EMAIL>"),
+                PHONE_REGEX,
+                "<PHONE>",
+            ),
+        }
+    )

@@ -2035,6 +2035,89 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_KG_PAGERANK = _pagerank_sql(SQL_KG_CANONICAL_EDGES)
 
 
+_BFS_MAX_HOPS = 6
+
+
+def q_kg_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances from the lexicographic-min canonical entity
+    over the undirected KG — "how far is everything from X", the basic
+    KG exploration primitive. Fixed hop bound so the oracle is the same
+    closed form unrolled as CTE steps."""
+    from sherlock_spark.functions.graph import bfs_depths
+
+    _nodes, edges = _graph_tables(spark, sf_dir)
+    return bfs_depths(
+        edges.select("subj_id", "obj_id"), max_hops=_BFS_MAX_HOPS
+    )
+
+
+def _bfs_sql(edges_sql: str, max_hops: int = _BFS_MAX_HOPS) -> str:
+    """Unrolled level-synchronous BFS — visited/frontier CTE pairs, one
+    per hop, mirroring ``functions.graph.bfs_depths`` exactly (the Spark
+    loop's early break on an empty frontier is observationally identical
+    to running the remaining no-op steps)."""
+    parts = [
+        f"WITH ce AS MATERIALIZED ({edges_sql})",
+        "e AS MATERIALIZED (SELECT DISTINCT subj_id AS src, obj_id AS dst"
+        " FROM ce UNION SELECT DISTINCT obj_id, subj_id FROM ce)",
+        "v0 AS MATERIALIZED (SELECT (SELECT MIN(src) FROM e) AS node,"
+        " 0 AS dist)",
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f"f{h} AS MATERIALIZED (SELECT DISTINCT e.dst AS node"
+            f" FROM v{h - 1} v JOIN e ON e.src = v.node"
+            f" WHERE e.dst NOT IN (SELECT node FROM v{h - 1}))"
+        )
+        parts.append(
+            f"v{h} AS MATERIALIZED (SELECT node, dist FROM v{h - 1}"
+            f" UNION ALL SELECT node, {h} AS dist FROM f{h})"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node AS node_id, CAST(dist AS INT) AS dist"
+        f" FROM v{max_hops}"
+    )
+
+
+SQL_KG_BFS = _bfs_sql(SQL_KG_CANONICAL_EDGES)
+
+
+def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the undirected canonical KG — the
+    local-clustering signal (which entities sit in tightly-knit relation
+    cliques). Degree-ordered orientation on the Spark side; the oracle
+    enumerates (a < b < c) triples directly — orientation changes the
+    enumeration order, never the per-node counts."""
+    from sherlock_spark.functions.graph import triangle_counts
+
+    _nodes, edges = _graph_tables(spark, sf_dir)
+    return triangle_counts(edges.select("subj_id", "obj_id"))
+
+
+SQL_KG_TRIANGLES = f"""
+    WITH ce AS MATERIALIZED ({SQL_KG_CANONICAL_EDGES}),
+    und AS (
+        SELECT DISTINCT least(subj_id, obj_id) AS a,
+               greatest(subj_id, obj_id) AS b
+        FROM ce WHERE subj_id <> obj_id
+    ),
+    t AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tn AS (
+        SELECT x AS node_id FROM t
+        UNION ALL SELECT y FROM t
+        UNION ALL SELECT z FROM t
+    )
+    SELECT node_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM tn GROUP BY node_id
+"""
+
+
 # -- near-dup cluster assignment -----------------------------------------
 
 
@@ -2249,6 +2332,220 @@ SQL_PIPELINE_CLEAN = f"""
 """
 
 
+# -- benchmark decontamination -------------------------------------------
+
+_DECON_N = 4
+
+
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: drop every corpus document that shares
+    a word 4-gram with the benchmark slice (here: doc_id % 50 == 0
+    stands in for the held-out eval set). The benchmark shingle set is
+    broadcast — the corpus is scanned once, map-side."""
+    from sherlock_spark.functions.dedup import decontaminate
+
+    documents = _load(spark, sf_dir, "documents")
+    benchmark = documents.filter(F.col("doc_id") % 50 == 0)
+    corpus = documents.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(corpus, benchmark, n=_DECON_N).select(
+        "doc_id", "lang", "source"
+    )
+
+
+SQL_TEXT_DECONTAMINATE = f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    bounds AS (SELECT max(len(ws)) AS max_words FROM w),
+    nums AS (
+        SELECT unnest(generate_series(1, (SELECT max_words FROM bounds))) AS i
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(
+                   list_slice(ws, i, i + {_DECON_N - 1}), ' ') AS shingle
+        FROM w, nums
+        WHERE i <= greatest(len(ws) - {_DECON_N - 1}, 1)
+    ),
+    contaminated AS (
+        SELECT DISTINCT c.doc_id
+        FROM sh c JOIN sh b ON b.shingle = c.shingle
+        WHERE b.doc_id % 50 = 0 AND c.doc_id % 50 <> 0
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id % 50 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
+# -- deterministic stratified sampling ------------------------------------
+
+_MIX_RATES = {"en": 0.5, "de": 0.25}
+_MIX_DEFAULT = 0.1
+_MIX_SALT = "mix-v1"
+
+
+def _hex_threshold(rate: float) -> str:
+    return format(min(max(int(rate * 16**8), 0), 16**8), "08x")
+
+
+def q_text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: hash-deterministic per-language sampling (50% en,
+    25% de, 10% everything else) — identical keep-set on every re-run
+    and in both engines because the decision is a lexicographic compare
+    of md5 hex, not an RNG."""
+    from sherlock_spark.functions.textstats import stratified_sample
+
+    return stratified_sample(
+        _load(spark, sf_dir, "documents"),
+        rates=_MIX_RATES,
+        default_rate=_MIX_DEFAULT,
+        salt=_MIX_SALT,
+    ).select("doc_id", "lang")
+
+
+SQL_TEXT_SAMPLE_STRATIFIED = f"""
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5('{_MIX_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 8)
+          < CASE lang
+              WHEN 'en' THEN '{_hex_threshold(_MIX_RATES["en"])}'
+              WHEN 'de' THEN '{_hex_threshold(_MIX_RATES["de"])}'
+              ELSE '{_hex_threshold(_MIX_DEFAULT)}'
+            END
+"""
+
+
+# -- PII redaction ---------------------------------------------------------
+
+
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/phone redaction over a corpus with PII injected
+    deterministically (the synthetic documents carry none): 2 of every
+    3 docs get an email, every other doc a phone number. The gate
+    hashes the redacted text, so placement and counts are both pinned.
+    """
+    from sherlock_spark.functions.textstats import redact_pii
+
+    documents = _load(spark, sf_dir, "documents")
+    injected = documents.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 != 0,
+                F.concat(
+                    F.lit(" Contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" or call +1 555-123-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(injected).select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.md5("text").alias("redacted_md5"),
+    )
+
+
+from sherlock_spark.functions.textstats import (  # noqa: E402
+    EMAIL_REGEX as _EMAIL_RE,
+    PHONE_REGEX as _PHONE_RE,
+)
+
+SQL_TEXT_PII_REDACT = f"""
+    WITH injected AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 <> 0
+                       THEN ' Contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 2 = 0
+                       THEN ' or call +1 555-123-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS text
+        FROM documents
+    ),
+    emails_out AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_EMAIL_RE}'))
+                    AS BIGINT) AS n_emails,
+               regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g') AS text
+        FROM injected
+    )
+    SELECT doc_id, n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}'))
+                AS BIGINT) AS n_phones,
+           md5(regexp_replace(text, '{_PHONE_RE}', '<PHONE>', 'g'))
+               AS redacted_md5
+    FROM emails_out
+"""
+
+
+# -- as-of join (events telemetry: time since last error) ------------------
+
+
+def q_rel_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event matched to the same user's most
+    recent error at-or-before it (time-to-last-error attribution). The
+    Spark side is the union-and-sweep ``asof_join`` (one shuffle, no
+    range join); the oracle is DuckDB's NATIVE ``ASOF JOIN`` — two
+    independent formulations of the same semantics."""
+    from sherlock_spark.functions.asof import asof_join
+
+    events = _load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        clicks,
+        errors,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id"],
+    )
+    ltz = lambda c: F.col(c).cast("timestamp_ltz")  # noqa: E731
+    return out.select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        F.unix_micros(ltz("ts")).alias("click_us"),
+        F.unix_micros(ltz("asof_ts")).alias("error_us"),
+        F.col("asof_event_id").cast("long").alias("last_error_id"),
+    )
+
+
+SQL_REL_EVENTS_ASOF = """
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    errors AS (
+        SELECT user_id, ts, MAX(event_id) AS event_id
+        FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id,
+           epoch_us(c.ts) AS click_us,
+           epoch_us(e.ts) AS error_us,
+           e.event_id AS last_error_id
+    FROM clicks c
+    ASOF LEFT JOIN errors e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+"""
+
+
 # -- registry -----------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2262,6 +2559,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_canonical_nodes": q_kg_canonical_nodes,
     "kg_degree": q_kg_degree,
     "kg_pagerank": q_kg_pagerank,
+    "kg_bfs": q_kg_bfs,
+    "kg_triangles": q_kg_triangles,
     "kg_incremental_edges": q_kg_incremental_edges,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "rel_pricing_summary": q_rel_pricing_summary,
@@ -2276,6 +2575,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_events_sessionize": q_rel_events_sessionize,
     "rel_events_hourly": q_rel_events_hourly,
     "rel_events_json_props": q_rel_events_json_props,
+    "rel_events_asof": q_rel_events_asof,
     "corpus_stats": q_corpus_stats,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2289,6 +2589,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_text_fingerprint,
     "text_language_id": q_text_language_id,
     "text_quality": q_text_quality,
+    "text_decontaminate": q_text_decontaminate,
+    "text_sample_stratified": q_text_sample_stratified,
+    "text_pii_redact": q_text_pii_redact,
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_lsh_topk": q_sim_lsh_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
@@ -2313,6 +2616,8 @@ ORACLES: dict[str, str] = {
     "kg_canonical_nodes": SQL_KG_CANONICAL_NODES,
     "kg_degree": SQL_KG_DEGREE,
     "kg_pagerank": SQL_KG_PAGERANK,
+    "kg_bfs": SQL_KG_BFS,
+    "kg_triangles": SQL_KG_TRIANGLES,
     "kg_incremental_edges": SQL_KG_CANONICAL_EDGES,
     "pipeline_clean_corpus": SQL_PIPELINE_CLEAN,
     "rel_pricing_summary": SQL_REL_PRICING_SUMMARY,
@@ -2327,6 +2632,7 @@ ORACLES: dict[str, str] = {
     "rel_events_sessionize": SQL_REL_SESSIONIZE,
     "rel_events_hourly": SQL_REL_EVENTS_HOURLY,
     "rel_events_json_props": SQL_REL_EVENTS_JSON,
+    "rel_events_asof": SQL_REL_EVENTS_ASOF,
     "corpus_stats": SQL_CORPUS_STATS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
@@ -2340,6 +2646,9 @@ ORACLES: dict[str, str] = {
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "text_language_id": SQL_TEXT_LANGUAGE_ID,
     "text_quality": SQL_TEXT_QUALITY,
+    "text_decontaminate": SQL_TEXT_DECONTAMINATE,
+    "text_sample_stratified": SQL_TEXT_SAMPLE_STRATIFIED,
+    "text_pii_redact": SQL_TEXT_PII_REDACT,
     "sim_topk_cosine": SQL_SIM_TOPK,
     "sim_lsh_topk": SQL_SIM_LSH_TOPK,
     "sim_ivf_topk": SQL_SIM_IVF_TOPK,

@@ -193,3 +193,41 @@ def test_dedup_clusters_matches_union_find(spark, pair_list):
         for r in dedup_clusters(docs, pairs).collect()
     }
     assert got == _union_find_clusters(doc_ids, pair_list)
+
+
+def test_bfs_depths_min_source_and_bound(spark):
+    from sherlock_spark.functions.graph import bfs_depths
+
+    # path a-b-c-d-e plus triangle x-y-z bridged at c; source = min
+    # node "a"; max_hops=3 must exclude e (dist 4) and include x at 3
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+         ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x")],
+        "subj_id string, obj_id string",
+    )
+    got = {r["node_id"]: r["dist"] for r in bfs_depths(edges, max_hops=3).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3, "x": 3}
+    # undirected: reverse-direction edges reachable too
+    rev = spark.createDataFrame(
+        [("b", "a")], "subj_id string, obj_id string"
+    )
+    got2 = {r["node_id"]: r["dist"] for r in bfs_depths(rev).collect()}
+    assert got2 == {"a": 0, "b": 1}
+
+
+def test_triangle_counts(spark):
+    from sherlock_spark.functions.graph import triangle_counts
+
+    # K4 on {a,b,c,d}: each node is in C(3,2)=3 triangles; plus a
+    # pendant edge d-e (e in none) and a duplicate/reversed edge
+    # (must not double-count)
+    k4 = [(u, v) for u in "abcd" for v in "abcd" if u < v]
+    edges = spark.createDataFrame(
+        k4 + [("d", "e"), ("b", "a"), ("a", "b")],
+        "subj_id string, obj_id string",
+    )
+    got = {
+        r["node_id"]: r["n_triangles"]
+        for r in triangle_counts(edges).collect()
+    }
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}

@@ -162,3 +162,78 @@ def test_embedding_cosine_dedup_finds_planted_clones(spark):
         df, threshold=0.95, n_planes=8, bands=4, dim=16, max_bucket_size=1
     ).count()
     assert capped == 0
+
+
+def test_decontaminate_broadcast_semi_join(spark):
+    from sherlock_spark.functions.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta shared tail here"),
+            (2, "completely different words with no overlap at all"),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "prefix alpha beta gamma suffix"), (101, "short doc")],
+        "doc_id long, text string",
+    )
+    # doc 1 shares the 3-gram "alpha beta gamma"; doc 3 and bench 101
+    # are both SHORTER than n, so each shingles to its clipped whole
+    # text "short doc" — an exact-duplicate-of-an-eval-doc, caught even
+    # below the n-gram width
+    kept = sorted(
+        r["doc_id"] for r in decontaminate(docs, bench, n=3).collect()
+    )
+    assert kept == [2]
+
+
+def test_stratified_sample_deterministic_and_rates(spark):
+    from sherlock_spark.functions.textstats import stratified_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "zz") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept1 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            docs, {"en": 0.5}, default_rate=0.05
+        ).collect()
+    )
+    kept2 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            docs, {"en": 0.5}, default_rate=0.05
+        ).collect()
+    )
+    assert kept1 == kept2  # same rows every run — no RNG
+    n_en = sum(1 for d in kept1 if d % 2 == 0)
+    n_zz = len(kept1) - n_en
+    # md5 is uniform: 1000 draws at p=0.5 -> ~3 sigma window
+    assert 450 <= n_en <= 550
+    assert 20 <= n_zz <= 90
+    # rate 0 keeps nothing, rate 1 keeps everything
+    assert stratified_sample(docs, {}, default_rate=0.0).count() == 0
+    assert stratified_sample(docs, {}, default_rate=1.0).count() == 2000
+
+
+def test_redact_pii_counts_and_text(spark):
+    from sherlock_spark.functions.textstats import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "write to First.Last+tag@sub.example.org today"),
+            (2, "call +1 555-123-4567 or 44 123-456-7890 now"),
+            (3, "clean text with an @ but no address"),
+            (4, "both a@b.com and +1 555-000-1111 here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_emails"], r["n_phones"], r["text"])
+        for r in redact_pii(docs).collect()
+    }
+    assert got[1] == (1, 0, "write to <EMAIL> today")
+    assert got[2] == (0, 2, "call <PHONE> or <PHONE> now")
+    assert got[3] == (0, 0, "clean text with an @ but no address")
+    assert got[4] == (1, 1, "both <EMAIL> and <PHONE> here")
