@@ -240,6 +240,48 @@ def main() -> int:
         plan,
     )
 
+    # 9. round-4b additions: decontamination broadcast shape,
+    #    sampling's shuffle-free map-side plan, as-of join sweep shape
+    from sherlock_spark.queries import (
+        q_rel_events_asof,
+        q_text_decontaminate,
+        q_text_sample_stratified,
+    )
+
+    plan = plan_of(q_text_decontaminate(spark, sf_dir))
+    check(
+        "decontaminate: benchmark shingles broadcast (semi-join, never "
+        "a shuffled corpus join)",
+        re.search(r"BroadcastHashJoin [^\n]*LeftSemi", plan) is not None,
+        plan,
+    )
+    plan = plan_of(q_text_sample_stratified(spark, sf_dir))
+    check(
+        "stratified_sample: pure map-side (no Exchange, no Python)",
+        "Exchange" not in plan
+        and "BatchEvalPython" not in plan
+        and "ArrowEvalPython" not in plan,
+        plan,
+    )
+    check(
+        "stratified_sample: md5 filter pushed into the scan's data "
+        "filters (scan-level row skip)",
+        "Filter" in plan,
+        plan,
+    )
+    plan = plan_of(q_rel_events_asof(spark, sf_dir))
+    check(
+        "asof: union-and-sweep — no join operator anywhere in the plan",
+        "Join" not in plan,
+        plan,
+    )
+    check(
+        "asof: one window over the key (the single sweep pass)",
+        plan.count("Window") == 1
+        and re.search(r"windowspecdefinition\(_k", plan) is not None,
+        plan,
+    )
+
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
