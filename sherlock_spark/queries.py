@@ -2332,6 +2332,173 @@ SQL_PIPELINE_CLEAN = f"""
 """
 
 
+# -- k-core of the near-dup graph ------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 4
+
+
+def q_dedup_core_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core (k=2) of the verified near-dup pair graph: documents in
+    densely-duplicated families (template farms, boilerplate cliques)
+    survive the peel; isolated dup PAIRS — the long tail — peel away.
+    Reuses the staged MinHash corpus tables like ``dedup_clusters``."""
+    from sherlock_spark.functions.dedup import (
+        minhash_band_buckets,
+        word_shingles,
+    )
+    from sherlock_spark.functions.graph import kcore
+
+    documents = _load(spark, sf_dir, "documents")
+    buckets = stage(
+        spark,
+        ("minhash_buckets", sf_dir, 32, 16, 3),
+        lambda: minhash_band_buckets(documents, 32, 16, 3),
+    )
+    shingles = stage(
+        spark,
+        ("minhash_shingles", sf_dir, 3),
+        lambda: word_shingles(documents, 3),
+    )
+    pairs = minhash_dedup_pairs(
+        documents,
+        threshold=0.8,
+        n_hashes=32,
+        bands=16,
+        band_buckets=buckets,
+        shingles=shingles,
+    )
+    return kcore(
+        pairs.select(
+            F.col("doc_a").alias("subj_id"), F.col("doc_b").alias("obj_id")
+        ),
+        k=_KCORE_K,
+        max_rounds=_KCORE_ROUNDS,
+    )
+
+
+def _kcore_sql(
+    pairs_sql: str, k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS
+) -> str:
+    """Unrolled peel: degree -> keep(deg>=k) -> filter edges, repeated
+    ``rounds`` times, then the surviving within-core degrees. MATERIALIZED
+    throughout — each round references the previous twice, the same
+    inlining blow-up the PageRank oracle documents. The Spark loop's
+    early exit on a stable node count is observationally identical
+    whenever convergence happens within the bound (it does here:
+    this graph peels in 2 rounds)."""
+    parts = [
+        f"WITH p AS MATERIALIZED ({pairs_sql})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(doc_a, doc_b) AS a,"
+        " greatest(doc_a, doc_b) AS b FROM p WHERE doc_a <> doc_b)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT node, count(*) AS deg FROM"
+            f" (SELECT a AS node FROM e{i} UNION ALL SELECT b FROM e{i})"
+            f" GROUP BY node)"
+        )
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k})"
+        )
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT a, b FROM e{i}"
+            f" WHERE a IN (SELECT node FROM k{i})"
+            f" AND b IN (SELECT node FROM k{i}))"
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT node AS node_id, CAST(count(*) AS BIGINT) AS core_degree
+    FROM (SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+    GROUP BY node HAVING count(*) >= {k}"""
+    )
+
+
+SQL_DEDUP_CORE_DOCS = _kcore_sql(SQL_DEDUP_NGRAM)
+
+
+# -- interval join (event -> session containment) ---------------------------
+
+
+def q_rel_events_in_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join: every event attributed to the session
+    interval [first_ts, last_ts] that contains it. The Spark side is
+    the bucket-decomposed ``interval_join`` (hash equi-join on
+    (user, hour-bucket) + exact containment filter — never a nested
+    loop); the oracle is a plain inequality join. Session bounds use
+    floor-truncated epoch seconds in BOTH engines so the integer
+    arithmetic is identical."""
+    from sherlock_spark.functions.interval import interval_join
+
+    events = _load(spark, sf_dir, "events")
+    window = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    with_gap = events.withColumn(
+        "gap_s", epoch - F.lag(epoch).over(window)
+    ).withColumn(
+        "new_session",
+        F.when(F.col("gap_s").isNull() | (F.col("gap_s") > 1800), 1).otherwise(
+            0
+        ),
+    )
+    sessions = (
+        with_gap.withColumn("session_idx", F.sum("new_session").over(window))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.min(epoch).alias("s_start"),
+            F.max(epoch).alias("s_end"),
+        )
+    )
+    points = events.select("event_id", "user_id", epoch.alias("ev_s"))
+    out = interval_join(
+        points,
+        sessions,
+        point_col="ev_s",
+        start_col="s_start",
+        end_col="s_end",
+        keys=["user_id"],
+        bucket_width=3600,
+    )
+    return out.select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        F.col("session_idx").cast("long"),
+    )
+
+
+SQL_REL_EVENTS_IN_SESSIONS = """
+    WITH g AS (
+        SELECT event_id, user_id, ts,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es,
+               CASE WHEN floor(epoch(ts)) - LAG(floor(epoch(ts))) OVER w
+                         IS NULL
+                      OR floor(epoch(ts)) - LAG(floor(epoch(ts))) OVER w
+                         > 1800
+                    THEN 1 ELSE 0 END AS ns
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT *, SUM(ns) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING
+        ) AS session_idx FROM g
+    ),
+    sess AS (
+        SELECT user_id, session_idx,
+               MIN(es) AS s_start, MAX(es) AS s_end
+        FROM s GROUP BY user_id, session_idx
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(x.session_idx AS BIGINT) AS session_idx
+    FROM g p
+    JOIN sess x
+      ON x.user_id = p.user_id
+     AND x.s_start <= p.es AND p.es <= x.s_end
+"""
+
+
 # -- benchmark decontamination -------------------------------------------
 
 _DECON_N = 4
@@ -2387,7 +2554,10 @@ _MIX_SALT = "mix-v1"
 
 
 def _hex_threshold(rate: float) -> str:
-    return format(min(max(int(rate * 16**8), 0), 16**8), "08x")
+    # mirror textstats.stratified_sample: rate >= 1.0 must sort above
+    # every 8-hex bucket ("100000000" would not, lexicographically)
+    n = min(max(int(rate * 16**8), 0), 16**8)
+    return "g" if n == 16**8 else format(n, "08x")
 
 
 def q_text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2576,6 +2746,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_events_hourly": q_rel_events_hourly,
     "rel_events_json_props": q_rel_events_json_props,
     "rel_events_asof": q_rel_events_asof,
+    "rel_events_in_sessions": q_rel_events_in_sessions,
     "corpus_stats": q_corpus_stats,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2584,6 +2755,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_core_docs": q_dedup_core_docs,
     "text_token_count": q_text_token_count,
     "text_tfidf_topk": q_text_tfidf_topk,
     "text_fingerprint": q_text_fingerprint,
@@ -2633,6 +2805,7 @@ ORACLES: dict[str, str] = {
     "rel_events_hourly": SQL_REL_EVENTS_HOURLY,
     "rel_events_json_props": SQL_REL_EVENTS_JSON,
     "rel_events_asof": SQL_REL_EVENTS_ASOF,
+    "rel_events_in_sessions": SQL_REL_EVENTS_IN_SESSIONS,
     "corpus_stats": SQL_CORPUS_STATS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
@@ -2641,6 +2814,7 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_substring_spans": SQL_DEDUP_SUBSTRING_SPANS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_core_docs": SQL_DEDUP_CORE_DOCS,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "text_tfidf_topk": SQL_TEXT_TFIDF,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,

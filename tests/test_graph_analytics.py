@@ -231,3 +231,38 @@ def test_triangle_counts(spark):
         for r in triangle_counts(edges).collect()
     }
     assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_kcore_peels_tails_keeps_triangle(spark):
+    # Triangle a-b-c (2-core) with a pendant chain c-d-e and an isolated
+    # pair f-g: the chain and pair peel away (degree < 2 after each
+    # round), the triangle survives with within-core degree 2 each.
+    from sherlock_spark.functions.graph import kcore
+
+    edges = _edges(
+        spark,
+        [
+            ("a", "p", "b", 1),
+            ("b", "p", "c", 1),
+            ("c", "p", "a", 1),
+            ("c", "p", "d", 1),
+            ("d", "p", "e", 1),
+            ("f", "p", "g", 1),
+        ],
+    )
+    got = {r["node_id"]: r["core_degree"] for r in kcore(edges, k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_early_exit_matches_fixed_bound(spark):
+    # A long chain peels one shell per round from both ends; the
+    # early-exiting loop and a generous fixed bound must agree (the
+    # contract the unrolled SQL oracle relies on).
+    from sherlock_spark.functions.graph import kcore
+
+    chain = [(str(i), "p", str(i + 1), 1) for i in range(6)]
+    chain += [("x", "p", "y", 1), ("y", "p", "z", 1), ("z", "p", "x", 1)]
+    edges = _edges(spark, chain)
+    a = sorted(map(tuple, kcore(edges, k=2, max_rounds=4).collect()))
+    b = sorted(map(tuple, kcore(edges, k=2, max_rounds=10).collect()))
+    assert a == b == [("x", 2), ("y", 2), ("z", 2)]
