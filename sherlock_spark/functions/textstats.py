@@ -194,7 +194,11 @@ def stratified_sample(
     """
 
     def threshold(rate: float) -> str:
-        return format(min(max(int(rate * 16**8), 0), 16**8), "08x")
+        n = min(max(int(rate * 16**8), 0), 16**8)
+        # rate >= 1.0 must exceed every 8-hex bucket; format(16**8) is
+        # the 9-char "100000000", which sorts BELOW "1aaaaaaa" under the
+        # lexicographic compare and would silently drop ~15/16 of rows.
+        return "g" if n == 16**8 else format(n, "08x")
 
     bucket = F.substring(
         F.md5(
