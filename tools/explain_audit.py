@@ -282,6 +282,28 @@ def main() -> int:
         plan,
     )
 
+    # 10. round-4c additions: interval join is a hash equi-join (the
+    #     whole point of the bucket decomposition — Spark would otherwise
+    #     plan the containment predicate as a broadcast nested loop),
+    #     and the k-core peel stays join-bounded (semi-joins per round).
+    from sherlock_spark.queries import q_rel_events_in_sessions
+
+    plan = plan_of(q_rel_events_in_sessions(spark, sf_dir))
+    check(
+        "events_in_sessions: containment via hash equi-join on "
+        "(key, bucket) — no nested loop, no cartesian product",
+        ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+         or "BroadcastHashJoin" in plan)
+        and "BroadcastNestedLoopJoin" not in plan
+        and "CartesianProduct" not in plan,
+        plan,
+    )
+    check(
+        "events_in_sessions: all-JVM (no Python stages)",
+        "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan,
+        plan,
+    )
+
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
