@@ -250,3 +250,89 @@ def redact_pii(
             ),
         }
     )
+
+
+# -- repetition statistics (Gopher-style quality rules) ----------------------
+
+
+def repetition_stats(
+    documents: DataFrame, top_n: int = 2, dup_n: int = 5
+) -> DataFrame:
+    """Within-document repetition signals — the Gopher/MassiveText
+    repetition filters (Rae et al. 2021 §A1.1) re-expressed as two
+    word-count aggregations:
+
+    - ``top{top_n}gram_frac``: fraction of the document's characters
+      covered by its most frequent word ``top_n``-gram (occurrences x
+      n-gram length / n_chars; ties break to the lexicographically
+      smallest n-gram so both engines pick the same one).
+    - ``dup{dup_n}gram_frac``: fraction of characters covered by word
+      ``dup_n``-grams that occur more than once (overlaps counted per
+      occurrence, so boilerplate-heavy docs can exceed 1.0 — the filter
+      thresholds well below that; documented, not clamped).
+    - ``dup_word_frac``: fraction of word occurrences that are repeats
+      of an earlier word (1 - distinct/total).
+
+    Scale shape: n-grams come from an index `sequence` + `slice` over
+    the split array (JVM, no Python), then ONE explode + two hash
+    aggregations per n-gram size — the word-count pattern, fully
+    partial-aggregatable; the per-doc top-1 is a window over the
+    (doc, gram) counts (never global). Documents shorter than the
+    n-gram yield zero fractions via the left join.
+    """
+    from pyspark.sql import Window
+
+    words = F.split("text", " ")
+    base = documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        words.alias("w"),
+    )
+
+    def gram_counts(n: int) -> DataFrame:
+        # sequence(1, 0) DESCENDS in Spark (step defaults to -1), so a
+        # doc shorter than the n-gram must yield an empty index array
+        # explicitly, not via the upper bound
+        idx = F.when(
+            F.size("w") >= n, F.sequence(F.lit(1), F.size("w") - n + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        grams = F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice("w", i, n))
+        )
+        return (
+            base.select("doc_id", F.explode(grams).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    top = gram_counts(top_n)
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("g").asc()
+    )
+    top1 = (
+        top.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", (F.col("cnt") * F.length("g")).alias("top_chars"))
+    )
+    dup = (
+        gram_counts(dup_n)
+        .filter(F.col("cnt") > 1)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.length("g")).alias("dup_chars"))
+    )
+    return (
+        base.join(top1, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("top_chars"), F.lit(0)) / F.col("n_chars"), 4
+            ).alias(f"top{top_n}gram_frac"),
+            F.round(
+                F.coalesce(F.col("dup_chars"), F.lit(0)) / F.col("n_chars"), 4
+            ).alias(f"dup{dup_n}gram_frac"),
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct("w")) / F.size("w"), 4
+            ).alias("dup_word_frac"),
+        )
+    )

@@ -2662,6 +2662,62 @@ SQL_TEXT_PII_REDACT = f"""
 """
 
 
+# -- repetition statistics (Gopher-style quality rules) ---------------------
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (top-bigram char fraction,
+    duplicated-5-gram char fraction, duplicate-word fraction) — the
+    Gopher repetition filters as word-count aggregations; the oracle
+    replays the identical n-gram construction with list_slice +
+    generate_series."""
+    from sherlock_spark.functions.textstats import repetition_stats
+
+    return repetition_stats(_load(spark, sf_dir, "documents"))
+
+
+def _gram_cte(n: int, name: str) -> str:
+    # generate_series as a scalar list + unnest: DuckDB's table-function
+    # form rejects lateral column parameters
+    return f"""{name} AS (
+        SELECT doc_id, array_to_string(list_slice(ws, i, i + {n - 1}), ' ')
+               AS g, count(*) AS cnt
+        FROM (SELECT doc_id, ws,
+                     unnest(generate_series(1, greatest(len(ws) - {n - 1},
+                                                        0))) AS i
+              FROM w)
+        GROUP BY doc_id, g
+    )"""
+
+
+SQL_TEXT_REPETITION = f"""
+    WITH w AS (
+        SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS ws
+        FROM documents
+    ),
+    {_gram_cte(2, "c2")},
+    {_gram_cte(5, "c5")},
+    top1 AS (
+        SELECT doc_id, cnt * length(g) AS top_chars,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, g ASC) AS rn
+        FROM c2
+    ),
+    dup AS (
+        SELECT doc_id, SUM(cnt * length(g)) AS dup_chars
+        FROM c5 WHERE cnt > 1 GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           ROUND(COALESCE(top_chars, 0) / n_chars, 4) AS top2gram_frac,
+           ROUND(COALESCE(dup_chars, 0) / n_chars, 4) AS dup5gram_frac,
+           ROUND(1.0 - len(list_distinct(ws)) / len(ws), 4) AS dup_word_frac
+    FROM w
+    LEFT JOIN (SELECT doc_id, top_chars FROM top1 WHERE rn = 1) t
+           ON t.doc_id = w.doc_id
+    LEFT JOIN dup ON dup.doc_id = w.doc_id
+"""
+
+
 # -- as-of join (events telemetry: time since last error) ------------------
 
 
@@ -2764,6 +2820,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_decontaminate": q_text_decontaminate,
     "text_sample_stratified": q_text_sample_stratified,
     "text_pii_redact": q_text_pii_redact,
+    "text_repetition": q_text_repetition,
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_lsh_topk": q_sim_lsh_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
@@ -2823,6 +2880,7 @@ ORACLES: dict[str, str] = {
     "text_decontaminate": SQL_TEXT_DECONTAMINATE,
     "text_sample_stratified": SQL_TEXT_SAMPLE_STRATIFIED,
     "text_pii_redact": SQL_TEXT_PII_REDACT,
+    "text_repetition": SQL_TEXT_REPETITION,
     "sim_topk_cosine": SQL_SIM_TOPK,
     "sim_lsh_topk": SQL_SIM_LSH_TOPK,
     "sim_ivf_topk": SQL_SIM_IVF_TOPK,

@@ -237,3 +237,31 @@ def test_redact_pii_counts_and_text(spark):
     assert got[2] == (0, 2, "call <PHONE> or <PHONE> now")
     assert got[3] == (0, 0, "clean text with an @ but no address")
     assert got[4] == (1, 1, "both <EMAIL> and <PHONE> here")
+
+
+def test_repetition_stats_closed_form(spark):
+    from sherlock_spark.functions.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # bigram "a b" occurs twice (6 of 9 chars); no dup 5-gram;
+            # 3 distinct of 5 words
+            (1, "a b a b c"),
+            # every 5-gram window of the doubled phrase: "p q r s t"
+            # occurs twice (18 of 19 chars); top bigram ties at cnt=2,
+            # lexicographically smallest is "p q"
+            (2, "p q r s t p q r s t"),
+            # shorter than both n-gram sizes -> zero fractions
+            (3, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["top2gram_frac"], r["dup5gram_frac"], r["dup_word_frac"]
+        )
+        for r in repetition_stats(docs).collect()
+    }
+    assert got[1] == (round(6 / 9, 4), 0.0, round(1 - 3 / 5, 4))
+    assert got[2] == (round(6 / 19, 4), round(18 / 19, 4), 0.5)
+    assert got[3] == (0.0, 0.0, 0.0)
