@@ -2718,6 +2718,53 @@ SQL_TEXT_REPETITION = f"""
 """
 
 
+# -- sequence packing (concat-and-chunk context-window layout) --------------
+
+_PACK_CAPACITY = 512
+_PACK_BUCKETS = 32
+
+
+def q_text_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: every document's place in the
+    fixed-capacity context-window stream (bucketed prefix sum — one
+    window shuffle, closed-form integer arithmetic; the oracle replays
+    the identical prefix sum)."""
+    from sherlock_spark.functions.packing import pack_chunks
+
+    return pack_chunks(
+        _load(spark, sf_dir, "documents"),
+        capacity=_PACK_CAPACITY,
+        buckets=_PACK_BUCKETS,
+    )
+
+
+SQL_TEXT_PACK_CHUNKS = rf"""
+    WITH sized AS (
+        SELECT doc_id, doc_id % {_PACK_BUCKETS} AS bucket,
+               CAST(len(regexp_extract_all(text, '\w+|[^\w\s]'))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    pref AS (
+        SELECT doc_id, bucket, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS stream_end
+        FROM sized
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(floor((stream_end - n_tokens) / {_PACK_CAPACITY})
+                AS BIGINT) AS chunk_id,
+           (stream_end - n_tokens) % {_PACK_CAPACITY} AS chunk_offset,
+           n_tokens,
+           CAST(floor((greatest(stream_end, stream_end - n_tokens + 1) - 1)
+                      / {_PACK_CAPACITY})
+                - floor((stream_end - n_tokens) / {_PACK_CAPACITY})
+                AS BIGINT) AS n_boundary_crossings
+    FROM pref
+"""
+
+
 # -- as-of join (events telemetry: time since last error) ------------------
 
 
@@ -2821,6 +2868,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_sample_stratified": q_text_sample_stratified,
     "text_pii_redact": q_text_pii_redact,
     "text_repetition": q_text_repetition,
+    "text_pack_chunks": q_text_pack_chunks,
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_lsh_topk": q_sim_lsh_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
@@ -2881,6 +2929,7 @@ ORACLES: dict[str, str] = {
     "text_sample_stratified": SQL_TEXT_SAMPLE_STRATIFIED,
     "text_pii_redact": SQL_TEXT_PII_REDACT,
     "text_repetition": SQL_TEXT_REPETITION,
+    "text_pack_chunks": SQL_TEXT_PACK_CHUNKS,
     "sim_topk_cosine": SQL_SIM_TOPK,
     "sim_lsh_topk": SQL_SIM_LSH_TOPK,
     "sim_ivf_topk": SQL_SIM_IVF_TOPK,

@@ -265,3 +265,41 @@ def test_repetition_stats_closed_form(spark):
     assert got[1] == (round(6 / 9, 4), 0.0, round(1 - 3 / 5, 4))
     assert got[2] == (round(6 / 19, 4), round(18 / 19, 4), 0.5)
     assert got[3] == (0.0, 0.0, 0.0)
+
+
+def test_pack_chunks_closed_form(spark):
+    from sherlock_spark.functions.packing import pack_chunks
+
+    docs = spark.createDataFrame(
+        [(1, 4), (2, 5), (3, 3), (4, 12), (5, 2), (6, 0)],
+        "doc_id long, nt long",
+    )
+    got = {
+        r["doc_id"]: (
+            r["chunk_id"],
+            r["chunk_offset"],
+            r["n_boundary_crossings"],
+        )
+        for r in pack_chunks(
+            docs, capacity=10, buckets=1, tokens=F.col("nt")
+        ).collect()
+    }
+    # one stream, capacity 10: ends 4,9,12,24,26,26
+    assert got[1] == (0, 0, 0)
+    assert got[2] == (0, 4, 0)
+    assert got[3] == (0, 9, 1)   # straddles the 10-token boundary
+    assert got[4] == (1, 2, 1)   # 12 tokens crosses one boundary
+    assert got[5] == (2, 4, 0)
+    assert got[6] == (2, 6, 0)   # zero-token doc: placed, crosses nothing
+
+    # two buckets pack independently: odd/even doc_ids each restart at 0
+    by_bucket = {
+        r["doc_id"]: (r["bucket"], r["chunk_id"], r["chunk_offset"])
+        for r in pack_chunks(
+            docs, capacity=10, buckets=2, tokens=F.col("nt")
+        ).collect()
+    }
+    assert by_bucket[1] == (1, 0, 0)
+    assert by_bucket[2] == (0, 0, 0)
+    assert by_bucket[3] == (1, 0, 4)
+    assert by_bucket[4] == (0, 0, 5)
