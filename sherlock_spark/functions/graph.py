@@ -345,3 +345,34 @@ def kcore(edges: DataFrame, k: int = 2, max_rounds: int = 8) -> DataFrame:
     return deg.filter(F.col("core_degree") >= k).select(
         F.col("node").alias("node_id"), "core_degree"
     )
+
+
+def conflicting_objects(edges: DataFrame) -> DataFrame:
+    """Functional-predicate conflict detection with evidence-weighted
+    resolution — the KG-cleaning pass run after extraction: a (subject,
+    predicate) asserting more than one distinct object is inconsistent
+    for functional relations (born_in, headquartered_in, ...); report
+    each conflict with the object the evidence supports best.
+
+    Output per conflicted (subj_id, pred): the number of competing
+    objects, total evidence weight, and the winner object (max
+    n_evidence, ties to the lexicographically smallest obj_id so the
+    resolution is deterministic across engines and runs) — expressed
+    as min_by over the (-evidence, obj_id) struct so the whole query
+    is ONE hash aggregation on (subj, pred): partial-aggregatable,
+    no window, no self-join; the n_objs > 1 filter applies
+    post-aggregate.
+    """
+    winner_key = F.struct(
+        (-F.col("n_evidence")).cast("long").alias("neg_ev"),
+        F.col("obj_id").alias("o"),
+    )
+    return (
+        edges.groupBy("subj_id", "pred")
+        .agg(
+            F.count_distinct("obj_id").cast("long").alias("n_objs"),
+            F.sum("n_evidence").cast("long").alias("total_evidence"),
+            F.min_by("obj_id", winner_key).alias("winner_obj"),
+        )
+        .filter(F.col("n_objs") > 1)
+    )

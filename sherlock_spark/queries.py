@@ -2215,6 +2215,47 @@ SQL_TEXT_TFIDF = """
 """
 
 
+# -- functional-predicate conflict detection --------------------------------
+
+
+def q_kg_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-predicate violations in the canonical KG: (subject,
+    predicate) pairs asserting more than one object, with the
+    evidence-weighted winner — the consistency-cleaning pass over the
+    staged edge table (no model re-run; one hash aggregation)."""
+    from sherlock_spark.functions.graph import conflicting_objects
+
+    _nodes, edges = _graph_tables(spark, sf_dir)
+    return conflicting_objects(
+        edges.select("subj_id", "pred", "obj_id",
+                     F.col("n_evidence").cast("long"))
+    )
+
+
+SQL_KG_CONFLICTS = f"""
+    WITH ce AS MATERIALIZED ({SQL_KG_CANONICAL_EDGES}),
+    ranked AS (
+        SELECT subj_id, pred, obj_id,
+               ROW_NUMBER() OVER (PARTITION BY subj_id, pred
+                                  ORDER BY n_evidence DESC, obj_id ASC)
+                   AS rn
+        FROM ce
+    ),
+    agg AS (
+        SELECT subj_id, pred,
+               CAST(count(DISTINCT obj_id) AS BIGINT) AS n_objs,
+               CAST(SUM(n_evidence) AS BIGINT) AS total_evidence
+        FROM ce GROUP BY subj_id, pred
+    )
+    SELECT a.subj_id, a.pred, a.n_objs, a.total_evidence,
+           r.obj_id AS winner_obj
+    FROM agg a
+    JOIN ranked r
+      ON r.subj_id = a.subj_id AND r.pred = a.pred AND r.rn = 1
+    WHERE a.n_objs > 1
+"""
+
+
 # -- incremental KG construction (two-batch == one-batch) ----------------
 
 
@@ -2834,6 +2875,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_pagerank": q_kg_pagerank,
     "kg_bfs": q_kg_bfs,
     "kg_triangles": q_kg_triangles,
+    "kg_conflicts": q_kg_conflicts,
     "kg_incremental_edges": q_kg_incremental_edges,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "rel_pricing_summary": q_rel_pricing_summary,
@@ -2895,6 +2937,7 @@ ORACLES: dict[str, str] = {
     "kg_pagerank": SQL_KG_PAGERANK,
     "kg_bfs": SQL_KG_BFS,
     "kg_triangles": SQL_KG_TRIANGLES,
+    "kg_conflicts": SQL_KG_CONFLICTS,
     "kg_incremental_edges": SQL_KG_CANONICAL_EDGES,
     "pipeline_clean_corpus": SQL_PIPELINE_CLEAN,
     "rel_pricing_summary": SQL_REL_PRICING_SUMMARY,

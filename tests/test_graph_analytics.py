@@ -266,3 +266,28 @@ def test_kcore_early_exit_matches_fixed_bound(spark):
     a = sorted(map(tuple, kcore(edges, k=2, max_rounds=4).collect()))
     b = sorted(map(tuple, kcore(edges, k=2, max_rounds=10).collect()))
     assert a == b == [("x", 2), ("y", 2), ("z", 2)]
+
+
+def test_conflicting_objects_winner_and_ties(spark):
+    from sherlock_spark.functions.graph import conflicting_objects
+
+    edges = _edges(
+        spark,
+        [
+            ("s1", "born_in", "berlin", 5),
+            ("s1", "born_in", "paris", 2),
+            ("s1", "works_at", "acme", 9),      # single object: no conflict
+            ("s2", "born_in", "rome", 3),
+            ("s2", "born_in", "oslo", 3),       # evidence tie -> min obj_id
+        ],
+    )
+    got = {
+        (r["subj_id"], r["pred"]): (
+            r["n_objs"], r["total_evidence"], r["winner_obj"]
+        )
+        for r in conflicting_objects(edges).collect()
+    }
+    assert got == {
+        ("s1", "born_in"): (2, 7, "berlin"),
+        ("s2", "born_in"): (2, 6, "oslo"),
+    }
