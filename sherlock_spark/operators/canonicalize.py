@@ -171,14 +171,15 @@ def canonicalize(link_table: DataFrame) -> DataFrame:
     )
 
 
-def materialize_graph(
+def resolve_canonical_ids(
     triples: DataFrame, canonical_map: DataFrame
-) -> tuple[DataFrame, DataFrame]:
-    """Triples + canonical map -> deduplicated (nodes, edges) tables.
-
-    nodes(canonical_id, label, surface_forms); edges(subj_id, pred,
-    obj_id, n_evidence) — n_evidence aggregates duplicate assertions
-    instead of dropping them silently.
+) -> DataFrame:
+    """Resolve every triple's subject/object surface to its canonical
+    node id (falling back to a deterministic per-surface id when the
+    surface never linked) — the shared step under the node/edge
+    materialization and any evidence-level aggregation (edge temporal
+    extents, conflict audits) that needs resolved ids but not the
+    deduplicated tables.
     """
     with_subj = triples.withColumn(
         "subj_norm", F.lower(F.col("subj_text"))
@@ -217,7 +218,19 @@ def materialize_graph(
             ),
         )
     )
+    return resolved
 
+
+def materialize_graph(
+    triples: DataFrame, canonical_map: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Triples + canonical map -> deduplicated (nodes, edges) tables.
+
+    nodes(canonical_id, label, surface_forms); edges(subj_id, pred,
+    obj_id, n_evidence) — n_evidence aggregates duplicate assertions
+    instead of dropping them silently.
+    """
+    resolved = resolve_canonical_ids(triples, canonical_map)
     edges = (
         resolved.groupBy("subj_id", "pred", "obj_id")
         .agg(F.count("*").alias("n_evidence"))

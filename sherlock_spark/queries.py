@@ -329,18 +329,16 @@ SQL_KG_LINKS = f"""
 """
 
 
-def _graph_tables(
+def _kg_stages(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """Shared (nodes, edges) materialization over checkpointed stages.
-
-    The three expensive stages (NER annotation, link->CC canonical map,
-    triple extraction) are materialized ONCE per (session, sf_dir)
-    through the in-process stage registry (``udfcache.stage``) — the
-    resume pattern of ``plans/checkpoint.py`` applied to repeated query
-    invocations: the second construction (and the nodes-vs-edges
-    branches) reads stage output instead of re-running the model UDFs
-    and the CC loop.
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three expensive KG stages (NER annotation, link->CC
+    canonical map, triple extraction), each materialized ONCE per
+    (session, sf_dir) through the in-process stage registry
+    (``udfcache.stage``) — the resume pattern of ``plans/checkpoint.py``
+    applied to repeated query invocations: every later construction
+    (and the nodes-vs-edges branches) reads stage output instead of
+    re-running the model UDFs and the CC loop.
     """
     # NER output feeds both linking and extraction — pruned to the
     # columns those stages read (drop text/tokens/bio)
@@ -374,6 +372,15 @@ def _graph_tables(
             max_mentions=MAX_MENTIONS,
         ),
     )
+    return annotated, canonical_map, triples
+
+
+def _graph_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared (nodes, edges) materialization over the checkpointed
+    stages of ``_kg_stages``."""
+    _annot, canonical_map, triples = _kg_stages(spark, sf_dir)
     return materialize_graph(triples, canonical_map)
 
 
@@ -2256,6 +2263,65 @@ SQL_KG_CONFLICTS = f"""
 """
 
 
+# -- edge temporal extent ----------------------------------------------------
+
+
+def q_kg_edge_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal extent of every canonical edge: first/last evidence
+    turn and the number of distinct conversations asserting it — the
+    fact-freshness/provenance profile a temporal KG keeps alongside
+    n_evidence. Shares the resolve step with the node/edge
+    materialization (``resolve_canonical_ids``) over the checkpointed
+    stages; ONE hash aggregation on the resolved ids."""
+    from sherlock_spark.operators.canonicalize import resolve_canonical_ids
+
+    _annot, canonical_map, triples = _kg_stages(spark, sf_dir)
+    resolved = resolve_canonical_ids(triples, canonical_map)
+    return resolved.groupBy("subj_id", "pred", "obj_id").agg(
+        F.count("*").cast("long").alias("n_evidence"),
+        F.min("turn_idx").cast("long").alias("first_turn"),
+        F.max("turn_idx").cast("long").alias("last_turn"),
+        F.count_distinct("conv_id").cast("long").alias("n_convs"),
+    )
+
+
+SQL_KG_EDGE_SPANS = f"""
+    WITH t AS ({_T_SQL}), {_TOKENS_SQL}, {_MENTIONS_SQL},
+    aliases(alias, kb_id, ent_type) AS (VALUES {_ALIAS_VALUES}),
+    canon AS (
+        SELECT a1.alias, a1.ent_type,
+               (SELECT min('a:' || a2.ent_type || ':' || a2.alias)
+                FROM aliases a2 WHERE a2.kb_id = a1.kb_id) AS canonical_id
+        FROM aliases a1
+    ),
+    triples AS (
+        SELECT h.conv_id, h.turn_idx,
+               h.surface AS subj_text, h.label AS subj_type,
+               o.surface AS obj_text, o.label AS obj_type, ({_BUCKET}) AS b
+        FROM mentions h JOIN mentions o
+          ON h.conv_id = o.conv_id AND h.turn_idx = o.turn_idx
+         AND h.ment_idx <> o.ment_idx
+        WHERE h.ment_idx < {MAX_MENTIONS} AND o.ment_idx < {MAX_MENTIONS}
+    )
+    SELECT COALESCE(cs.canonical_id,
+                    'a:' || tr.subj_type || ':' || lower(tr.subj_text)) AS subj_id,
+           ({_RC_LABEL_CASE}) AS pred,
+           COALESCE(co.canonical_id,
+                    'a:' || tr.obj_type || ':' || lower(tr.obj_text)) AS obj_id,
+           CAST(count(*) AS BIGINT) AS n_evidence,
+           CAST(min(tr.turn_idx) AS BIGINT) AS first_turn,
+           CAST(max(tr.turn_idx) AS BIGINT) AS last_turn,
+           CAST(count(DISTINCT tr.conv_id) AS BIGINT) AS n_convs
+    FROM triples tr
+    LEFT JOIN canon cs
+      ON lower(tr.subj_text) = cs.alias AND tr.subj_type = cs.ent_type
+    LEFT JOIN canon co
+      ON lower(tr.obj_text) = co.alias AND tr.obj_type = co.ent_type
+    WHERE b <> 0
+    GROUP BY 1, 2, 3
+"""
+
+
 # -- incremental KG construction (two-batch == one-batch) ----------------
 
 
@@ -2876,6 +2942,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_bfs": q_kg_bfs,
     "kg_triangles": q_kg_triangles,
     "kg_conflicts": q_kg_conflicts,
+    "kg_edge_spans": q_kg_edge_spans,
     "kg_incremental_edges": q_kg_incremental_edges,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "rel_pricing_summary": q_rel_pricing_summary,
@@ -2938,6 +3005,7 @@ ORACLES: dict[str, str] = {
     "kg_bfs": SQL_KG_BFS,
     "kg_triangles": SQL_KG_TRIANGLES,
     "kg_conflicts": SQL_KG_CONFLICTS,
+    "kg_edge_spans": SQL_KG_EDGE_SPANS,
     "kg_incremental_edges": SQL_KG_CANONICAL_EDGES,
     "pipeline_clean_corpus": SQL_PIPELINE_CLEAN,
     "rel_pricing_summary": SQL_REL_PRICING_SUMMARY,
