@@ -433,3 +433,51 @@ def ivf_topk_cosine(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos")
     )
+
+
+def label_centroid_outliers(
+    embeddings: DataFrame, k: int = 5
+) -> DataFrame:
+    """Label-noise detection: for every class label, the ``k`` vectors
+    LEAST similar (cosine) to their label's centroid — the standard
+    mislabeled-example sweep over an embedded training set.
+
+    Scale shape: component explode (posexplode, x dim rows) -> ONE
+    partial-aggregatable hash agg for the centroids (labels x dim rows
+    — tiny, broadcast into the join back) -> per-vector dot/norm agg ->
+    per-LABEL window for the bottom-k (never global). The centroid's
+    squared norm rides along the same join (each component row carries
+    its centroid component), so no second pass. Cosine is rounded to 4
+    BEFORE ranking so both engines rank an identical key (same
+    convention as TF-IDF); residual ties break on vec_id.
+    """
+    comp = embeddings.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("comp", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    centroids = comp.groupBy("label", "comp").agg(F.avg("v").alias("c"))
+    dots = (
+        comp.join(F.broadcast(centroids), ["label", "comp"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("v") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv"),
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"),
+        )
+    )
+    cos = F.round(F.col("dot") / (F.col("nv") * F.col("nc")), 4)
+    window = Window.partitionBy("label").orderBy(
+        F.col("cos").asc(), F.col("vec_id").asc()
+    )
+    return (
+        dots.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(window))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("vec_id").cast("long"),
+            F.col("label").cast("long"),
+            "cos",
+            F.col("rank").cast("long"),
+        )
+    )

@@ -1341,6 +1341,50 @@ SQL_SIM_IVF_TOPK = f"""
 """
 
 
+# -- label-noise detection (cosine to label centroid) ------------------------
+
+
+def q_emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label bottom-5 vectors by cosine to their label centroid —
+    the mislabeled-example sweep; centroid agg + broadcast join back +
+    per-label window (oracle replays the identical arithmetic)."""
+    from sherlock_spark.functions.similarity import label_centroid_outliers
+
+    return label_centroid_outliers(_load(spark, sf_dir, "embeddings"), k=5)
+
+
+SQL_EMB_LABEL_OUTLIERS = """
+    WITH comp AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS comp,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, comp, AVG(v) AS c FROM comp GROUP BY label, comp
+    ),
+    dots AS (
+        SELECT t.vec_id, t.label,
+               SUM(t.v * c.c) AS dot,
+               sqrt(SUM(t.v * t.v)) AS nv,
+               sqrt(SUM(c.c * c.c)) AS nc
+        FROM comp t
+        JOIN cent c ON c.label = t.label AND c.comp = t.comp
+        GROUP BY t.vec_id, t.label
+    ),
+    r AS (
+        SELECT vec_id, label, round(dot / (nv * nc), 4) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY label
+                                  ORDER BY round(dot / (nv * nc), 4) ASC,
+                                           vec_id ASC) AS rn
+        FROM dots
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS BIGINT) AS label,
+           cos, CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 5
+"""
+
+
 # -- embedding-cosine near-dup (oracle-gated) ---------------------------
 #
 # The synthetic embeddings are i.i.d. random (max pairwise cos ~0.51 at
@@ -2981,6 +3025,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_lsh_topk": q_sim_lsh_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
+    "emb_label_outliers": q_emb_label_outliers,
     "stream_triples": q_stream_triples,
     "stream_summaries": q_stream_summaries,
     "stream_rates": q_stream_rates,
@@ -3044,6 +3089,7 @@ ORACLES: dict[str, str] = {
     "sim_topk_cosine": SQL_SIM_TOPK,
     "sim_lsh_topk": SQL_SIM_LSH_TOPK,
     "sim_ivf_topk": SQL_SIM_IVF_TOPK,
+    "emb_label_outliers": SQL_EMB_LABEL_OUTLIERS,
     "stream_triples": SQL_STREAM_TRIPLES,
     "stream_summaries": SQL_STREAM_SUMMARIES,
     "stream_rates": SQL_STREAM_RATES,

@@ -303,3 +303,22 @@ def test_pack_chunks_closed_form(spark):
     assert by_bucket[2] == (0, 0, 0)
     assert by_bucket[3] == (1, 0, 4)
     assert by_bucket[4] == (0, 0, 5)
+
+
+def test_label_centroid_outliers_find_planted_mislabel(spark):
+    from sherlock_spark.functions.similarity import label_centroid_outliers
+
+    # label 0 clusters near +e0; vec 99 is an opposite-direction plant
+    rows = [(i, [1.0, 0.1 * (i % 3), 0.0], 0) for i in range(6)]
+    rows.append((99, [-1.0, 0.0, 0.0], 0))
+    # a second label so the window partitioning is exercised
+    rows += [(10 + i, [0.0, 1.0, 0.05 * i], 1) for i in range(4)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    got = label_centroid_outliers(emb, k=2).collect()
+    by_label = {}
+    for r in got:
+        by_label.setdefault(r["label"], []).append((r["rank"], r["vec_id"]))
+    assert sorted(by_label[0])[0] == (1, 99)  # the plant is rank 1
+    assert len(by_label[0]) == 2 and len(by_label[1]) == 2
