@@ -2869,6 +2869,38 @@ SQL_TEXT_REPETITION = f"""
 """
 
 
+# -- per-language length quantiles -------------------------------------------
+
+
+def q_text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 document length per language — the
+    distribution profile a length-filter threshold is chosen from.
+    Both engines interpolate quantiles identically (R-7 / linear), so
+    the gate compares exact values. Exact `percentile` buffers each
+    group's values — the profiling-run shape; at 100 TB production
+    monitoring swaps in `approx_percentile` (t-digest, mergeable
+    map-side) with this query as its accuracy reference."""
+    return (
+        _load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.percentile("n_chars", 0.5), 4).alias("p50"),
+            F.round(F.percentile("n_chars", 0.9), 4).alias("p90"),
+            F.round(F.percentile("n_chars", 0.99), 4).alias("p99"),
+        )
+    )
+
+
+SQL_TEXT_LENGTH_QUANTILES = """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(quantile_cont(n_chars, 0.5) AS DOUBLE), 4) AS p50,
+           ROUND(CAST(quantile_cont(n_chars, 0.9) AS DOUBLE), 4) AS p90,
+           ROUND(CAST(quantile_cont(n_chars, 0.99) AS DOUBLE), 4) AS p99
+    FROM documents GROUP BY lang
+"""
+
+
 # -- sequence packing (concat-and-chunk context-window layout) --------------
 
 _PACK_CAPACITY = 512
@@ -3022,6 +3054,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii_redact": q_text_pii_redact,
     "text_repetition": q_text_repetition,
     "text_pack_chunks": q_text_pack_chunks,
+    "text_length_quantiles": q_text_length_quantiles,
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_lsh_topk": q_sim_lsh_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
@@ -3086,6 +3119,7 @@ ORACLES: dict[str, str] = {
     "text_pii_redact": SQL_TEXT_PII_REDACT,
     "text_repetition": SQL_TEXT_REPETITION,
     "text_pack_chunks": SQL_TEXT_PACK_CHUNKS,
+    "text_length_quantiles": SQL_TEXT_LENGTH_QUANTILES,
     "sim_topk_cosine": SQL_SIM_TOPK,
     "sim_lsh_topk": SQL_SIM_LSH_TOPK,
     "sim_ivf_topk": SQL_SIM_IVF_TOPK,
