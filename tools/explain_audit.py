@@ -304,6 +304,82 @@ def main() -> int:
         plan,
     )
 
+    # 11. round-4d additions: repetition stats, packing, quantiles,
+    #     label outliers, KG conflicts / edge spans
+    from sherlock_spark.queries import (
+        q_emb_label_outliers,
+        q_kg_conflicts,
+        q_kg_edge_spans,
+        q_text_length_quantiles,
+        q_text_pack_chunks,
+        q_text_repetition,
+    )
+
+    plan = plan_of(q_text_repetition(spark, sf_dir))
+    check(
+        "text_repetition: all-JVM n-gram counting (no Python stages)",
+        "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan,
+        plan,
+    )
+    check(
+        "text_repetition: top-gram window partitioned per document",
+        re.search(r"windowspecdefinition\(doc_id", plan) is not None
+        and "Exchange SinglePartition" not in plan,
+        plan,
+    )
+
+    plan = plan_of(q_text_pack_chunks(spark, sf_dir))
+    n_exchange = len(re.findall(r"Exchange ", plan))
+    check(
+        f"pack_chunks: exactly one exchange — the bucket window's hash "
+        f"partitioning (got {n_exchange})",
+        n_exchange == 1 and "hashpartitioning(bucket" in plan,
+        plan,
+    )
+    check(
+        "pack_chunks: all-JVM prefix-sum arithmetic",
+        "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan,
+        plan,
+    )
+
+    plan = plan_of(q_text_length_quantiles(spark, sf_dir))
+    check(
+        "length_quantiles: partial (map-side) percentile aggregation",
+        "partial_percentile" in plan,
+        plan,
+    )
+
+    plan = plan_of(q_emb_label_outliers(spark, sf_dir))
+    check(
+        "emb_label_outliers: centroid table broadcast into the join "
+        "back (never a shuffled join on the exploded components)",
+        "BroadcastHashJoin" in plan,
+        plan,
+    )
+    check(
+        "emb_label_outliers: bottom-k window partitioned per label",
+        re.search(r"windowspecdefinition\(label", plan) is not None,
+        plan,
+    )
+
+    # constructed after the canonical-edges materialization above, so
+    # both must read checkpointed stages — no model UDF re-run
+    plan = plan_of(q_kg_conflicts(spark, sf_dir))
+    check(
+        "kg_conflicts: one aggregation pass — no window, no Python, "
+        "reads checkpointed stages",
+        "Window" not in plan
+        and "BatchEvalPython" not in plan
+        and "ArrowEvalPython" not in plan,
+        plan,
+    )
+    plan = plan_of(q_kg_edge_spans(spark, sf_dir))
+    check(
+        "kg_edge_spans: reads checkpointed stages (no Python UDF stages)",
+        "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan,
+        plan,
+    )
+
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
