@@ -1444,6 +1444,15 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle caveat (same class as SQL_DEDUP_MINHASH's): the bucket replay
+# assumes Spark's in-order array aggregate and DuckDB's unordered SUM
+# agree on the SIGN of every hyperplane dot product. Double summation
+# order can differ in the last ulp, so a dot within ~1e-12 of 0.0 could
+# bucket differently across engines and flake the set-equality gate.
+# Never observed on this corpus (the planted clones sit at cos ~0.9999
+# and dots are O(1)); if a regenerated corpus ever flakes here, gate on
+# recall fraction against the exact-cosine pairs instead of equality —
+# the recall harness (tools/recall_study.py) already computes it.
 SQL_DEDUP_EMBEDDING_COSINE = f"""
     WITH planes AS (
         SELECT p.p AS plane, c.c AS comp,
