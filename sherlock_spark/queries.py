@@ -2375,6 +2375,67 @@ SQL_KG_EDGE_SPANS = f"""
 """
 
 
+# -- ontology profile (type x predicate x type) -------------------------------
+
+
+def q_kg_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema/ontology profile of the KG: evidence and distinct-edge
+    counts per (subject type, predicate, object type) — the signature a
+    downstream consumer validates extractions against (and the input to
+    the O11 relation->entity-type rules when learned from data). One
+    hash aggregation over the resolved triples; reads checkpointed
+    stages."""
+    from sherlock_spark.operators.canonicalize import resolve_canonical_ids
+
+    _annot, canonical_map, triples = _kg_stages(spark, sf_dir)
+    resolved = resolve_canonical_ids(triples, canonical_map)
+    return resolved.groupBy("subj_type", "pred", "obj_type").agg(
+        F.count("*").cast("long").alias("n_evidence"),
+        F.count_distinct("subj_id", "obj_id").cast("long").alias("n_edges"),
+    )
+
+
+SQL_KG_TYPE_MATRIX = f"""
+    WITH t AS ({_T_SQL}), {_TOKENS_SQL}, {_MENTIONS_SQL},
+    aliases(alias, kb_id, ent_type) AS (VALUES {_ALIAS_VALUES}),
+    canon AS (
+        SELECT a1.alias, a1.ent_type,
+               (SELECT min('a:' || a2.ent_type || ':' || a2.alias)
+                FROM aliases a2 WHERE a2.kb_id = a1.kb_id) AS canonical_id
+        FROM aliases a1
+    ),
+    triples AS (
+        SELECT h.surface AS subj_text, h.label AS subj_type,
+               o.surface AS obj_text, o.label AS obj_type, ({_BUCKET}) AS b
+        FROM mentions h JOIN mentions o
+          ON h.conv_id = o.conv_id AND h.turn_idx = o.turn_idx
+         AND h.ment_idx <> o.ment_idx
+        WHERE h.ment_idx < {MAX_MENTIONS} AND o.ment_idx < {MAX_MENTIONS}
+    ),
+    resolved AS (
+        SELECT tr.subj_type, ({_RC_LABEL_CASE}) AS pred, tr.obj_type,
+               COALESCE(cs.canonical_id,
+                        'a:' || tr.subj_type || ':' || lower(tr.subj_text))
+                   AS subj_id,
+               COALESCE(co.canonical_id,
+                        'a:' || tr.obj_type || ':' || lower(tr.obj_text))
+                   AS obj_id
+        FROM triples tr
+        LEFT JOIN canon cs
+          ON lower(tr.subj_text) = cs.alias AND tr.subj_type = cs.ent_type
+        LEFT JOIN canon co
+          ON lower(tr.obj_text) = co.alias AND tr.obj_type = co.ent_type
+        WHERE b <> 0
+    )
+    SELECT subj_type, pred, obj_type,
+           CAST(count(*) AS BIGINT) AS n_evidence,
+           CAST(count(DISTINCT subj_id || '|' || obj_id) AS BIGINT)
+               AS n_edges
+    FROM resolved
+    GROUP BY subj_type, pred, obj_type
+"""
+
+
 # -- incremental KG construction (two-batch == one-batch) ----------------
 
 
@@ -3028,6 +3089,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triangles": q_kg_triangles,
     "kg_conflicts": q_kg_conflicts,
     "kg_edge_spans": q_kg_edge_spans,
+    "kg_type_matrix": q_kg_type_matrix,
     "kg_incremental_edges": q_kg_incremental_edges,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "rel_pricing_summary": q_rel_pricing_summary,
@@ -3093,6 +3155,7 @@ ORACLES: dict[str, str] = {
     "kg_triangles": SQL_KG_TRIANGLES,
     "kg_conflicts": SQL_KG_CONFLICTS,
     "kg_edge_spans": SQL_KG_EDGE_SPANS,
+    "kg_type_matrix": SQL_KG_TYPE_MATRIX,
     "kg_incremental_edges": SQL_KG_CANONICAL_EDGES,
     "pipeline_clean_corpus": SQL_PIPELINE_CLEAN,
     "rel_pricing_summary": SQL_REL_PRICING_SUMMARY,
