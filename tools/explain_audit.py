@@ -379,6 +379,17 @@ def main() -> int:
         "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan,
         plan,
     )
+    from sherlock_spark.queries import q_kg_type_matrix
+
+    plan = plan_of(q_kg_type_matrix(spark, sf_dir))
+    check(
+        "kg_type_matrix: one aggregation over checkpointed stages "
+        "(no window, no Python)",
+        "Window" not in plan
+        and "BatchEvalPython" not in plan
+        and "ArrowEvalPython" not in plan,
+        plan,
+    )
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
