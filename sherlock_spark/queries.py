@@ -2375,6 +2375,60 @@ SQL_KG_EDGE_SPANS = f"""
 """
 
 
+# -- per-conversation extraction profile --------------------------------------
+
+
+def q_kg_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation extraction profile: turns, decoded mentions,
+    extracted triples — the yield report a production run emits per
+    input unit (which conversations produce knowledge, which are
+    barren). Two hash aggregations over checkpointed stages + one join
+    on conv_id (left: barren conversations keep a 0 triple count)."""
+    annotated, _map, triples = _kg_stages(spark, sf_dir)
+    turn_stats = annotated.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum(F.size("ments")).cast("long").alias("n_mentions"),
+    )
+    triple_stats = triples.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_triples")
+    )
+    return (
+        turn_stats.join(triple_stats, "conv_id", "left")
+        .fillna(0, ["n_triples"])
+        .select("conv_id", "n_turns", "n_mentions", "n_triples")
+    )
+
+
+SQL_KG_CONV_STATS = f"""
+    WITH t AS ({_T_SQL}), {_TOKENS_SQL}, {_MENTIONS_SQL},
+    pairs AS (
+        SELECT h.conv_id, ({_BUCKET}) AS b
+        FROM mentions h JOIN mentions o
+          ON h.conv_id = o.conv_id AND h.turn_idx = o.turn_idx
+         AND h.ment_idx <> o.ment_idx
+        WHERE h.ment_idx < {MAX_MENTIONS} AND o.ment_idx < {MAX_MENTIONS}
+    ),
+    turn_stats AS (
+        SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns FROM t
+        GROUP BY conv_id
+    ),
+    ment_stats AS (
+        SELECT conv_id, CAST(count(*) AS BIGINT) AS n_mentions
+        FROM mentions GROUP BY conv_id
+    ),
+    triple_stats AS (
+        SELECT conv_id, CAST(count(*) AS BIGINT) AS n_triples
+        FROM pairs WHERE b <> 0 GROUP BY conv_id
+    )
+    SELECT ts.conv_id, ts.n_turns,
+           COALESCE(ms.n_mentions, 0) AS n_mentions,
+           COALESCE(tr.n_triples, 0) AS n_triples
+    FROM turn_stats ts
+    LEFT JOIN ment_stats ms ON ms.conv_id = ts.conv_id
+    LEFT JOIN triple_stats tr ON tr.conv_id = ts.conv_id
+"""
+
+
 # -- ontology profile (type x predicate x type) -------------------------------
 
 
@@ -3090,6 +3144,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_conflicts": q_kg_conflicts,
     "kg_edge_spans": q_kg_edge_spans,
     "kg_type_matrix": q_kg_type_matrix,
+    "kg_conv_stats": q_kg_conv_stats,
     "kg_incremental_edges": q_kg_incremental_edges,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "rel_pricing_summary": q_rel_pricing_summary,
@@ -3156,6 +3211,7 @@ ORACLES: dict[str, str] = {
     "kg_conflicts": SQL_KG_CONFLICTS,
     "kg_edge_spans": SQL_KG_EDGE_SPANS,
     "kg_type_matrix": SQL_KG_TYPE_MATRIX,
+    "kg_conv_stats": SQL_KG_CONV_STATS,
     "kg_incremental_edges": SQL_KG_CANONICAL_EDGES,
     "pipeline_clean_corpus": SQL_PIPELINE_CLEAN,
     "rel_pricing_summary": SQL_REL_PRICING_SUMMARY,
