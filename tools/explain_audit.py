@@ -390,6 +390,15 @@ def main() -> int:
         and "ArrowEvalPython" not in plan,
         plan,
     )
+    from sherlock_spark.queries import q_kg_conv_stats
+
+    plan = plan_of(q_kg_conv_stats(spark, sf_dir))
+    check(
+        "kg_conv_stats: aggregations + conv_id join over checkpointed "
+        "stages (no Python)",
+        "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan,
+        plan,
+    )
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
