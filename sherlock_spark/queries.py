@@ -2375,6 +2375,51 @@ SQL_KG_EDGE_SPANS = f"""
 """
 
 
+# -- chat-template rendering (SFT export) -------------------------------------
+
+
+def q_text_render_chat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render each conversation into one training string ("role: text"
+    lines joined by newlines, turns in order) — the SFT/chat-template
+    export step of a transcript pipeline. One hash aggregation per
+    conversation: collect (turn_idx, line) structs, sort_array gives
+    the in-conversation order WITHOUT a global sort, array_join
+    concatenates. The gate hashes the rendered text (md5) so turn
+    order, separators, and role tags are all pinned; whole rendered
+    documents never travel through the compare."""
+    t = _transcripts(spark, sf_dir)
+    line = F.concat(F.col("role"), F.lit(": "), F.col("text"))
+    rendered = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("turn_idx"), line.alias("l")))
+            ),
+            lambda s: s["l"],
+        ),
+        "\n",
+    )
+    return t.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.length(rendered).cast("long").alias("n_chars"),
+        F.md5(rendered).alias("rendered_md5"),
+    )
+
+
+SQL_TEXT_RENDER_CHAT = f"""
+    WITH t AS ({_T_SQL}),
+    r AS (
+        SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+               string_agg(role || ': ' || text, chr(10)
+                          ORDER BY turn_idx) AS rendered
+        FROM t GROUP BY conv_id
+    )
+    SELECT conv_id, n_turns,
+           CAST(length(rendered) AS BIGINT) AS n_chars,
+           md5(rendered) AS rendered_md5
+    FROM r
+"""
+
+
 # -- per-conversation extraction profile --------------------------------------
 
 
@@ -3145,6 +3190,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_edge_spans": q_kg_edge_spans,
     "kg_type_matrix": q_kg_type_matrix,
     "kg_conv_stats": q_kg_conv_stats,
+    "text_render_chat": q_text_render_chat,
     "kg_incremental_edges": q_kg_incremental_edges,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "rel_pricing_summary": q_rel_pricing_summary,
@@ -3212,6 +3258,7 @@ ORACLES: dict[str, str] = {
     "kg_edge_spans": SQL_KG_EDGE_SPANS,
     "kg_type_matrix": SQL_KG_TYPE_MATRIX,
     "kg_conv_stats": SQL_KG_CONV_STATS,
+    "text_render_chat": SQL_TEXT_RENDER_CHAT,
     "kg_incremental_edges": SQL_KG_CANONICAL_EDGES,
     "pipeline_clean_corpus": SQL_PIPELINE_CLEAN,
     "rel_pricing_summary": SQL_REL_PRICING_SUMMARY,
