@@ -2375,6 +2375,43 @@ SQL_KG_EDGE_SPANS = f"""
 """
 
 
+# -- corpus vocabulary top-k ---------------------------------------------------
+
+_VOCAB_K = 20
+
+
+def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-k vocabulary by occurrence count (the tokenizer-
+    induction / stopword-discovery profile). Scale shape: explode + ONE
+    partial-aggregatable hash agg to the (small) vocabulary table, then
+    orderBy+limit — which Spark plans as TakeOrderedAndProject
+    (per-partition top-k merged on the driver, k rows per partition —
+    NEVER a global sort of the vocabulary); ties break on the term so
+    both engines rank identically."""
+    words = (
+        _load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    return (
+        words.groupBy("term")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(_VOCAB_K)
+    )
+
+
+SQL_TEXT_VOCAB_TOPK = f"""
+    SELECT term, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+          FROM documents)
+    WHERE term <> ''
+    GROUP BY term
+    ORDER BY n DESC, term ASC
+    LIMIT {_VOCAB_K}
+"""
+
+
 # -- chat-template rendering (SFT export) -------------------------------------
 
 
@@ -3191,6 +3228,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_type_matrix": q_kg_type_matrix,
     "kg_conv_stats": q_kg_conv_stats,
     "text_render_chat": q_text_render_chat,
+    "text_vocab_topk": q_text_vocab_topk,
     "kg_incremental_edges": q_kg_incremental_edges,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "rel_pricing_summary": q_rel_pricing_summary,
@@ -3259,6 +3297,7 @@ ORACLES: dict[str, str] = {
     "kg_type_matrix": SQL_KG_TYPE_MATRIX,
     "kg_conv_stats": SQL_KG_CONV_STATS,
     "text_render_chat": SQL_TEXT_RENDER_CHAT,
+    "text_vocab_topk": SQL_TEXT_VOCAB_TOPK,
     "kg_incremental_edges": SQL_KG_CANONICAL_EDGES,
     "pipeline_clean_corpus": SQL_PIPELINE_CLEAN,
     "rel_pricing_summary": SQL_REL_PRICING_SUMMARY,

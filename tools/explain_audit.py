@@ -399,6 +399,15 @@ def main() -> int:
         "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan,
         plan,
     )
+    from sherlock_spark.queries import q_text_vocab_topk
+
+    plan = plan_of(q_text_vocab_topk(spark, sf_dir))
+    check(
+        "vocab_topk: global top-k via TakeOrderedAndProject — never a "
+        "full sort of the vocabulary",
+        "TakeOrderedAndProject" in plan and "Sort " not in plan,
+        plan,
+    )
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
