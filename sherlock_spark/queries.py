@@ -2375,6 +2375,70 @@ SQL_KG_EDGE_SPANS = f"""
 """
 
 
+# -- deterministic upsampling (epoch mixing) -----------------------------------
+
+_UP_WEIGHTS = {"en": 2.3, "de": 1.5}
+_UP_DEFAULT = 1.0
+_UP_SALT = "epochs-v1"
+
+
+def _up_hex(rate: float) -> str:
+    # same rule as _hex_threshold (defined later in the file): the
+    # fractional weights here are always < 1.0 so no 'g' sentinel case
+    return format(min(max(int(rate * 16**8), 0), 16**8), "08x")
+
+
+def q_text_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic upsampling — the other half of the domain-mixing
+    recipe (stratified_sample downsamples): a per-language weight w
+    gives every document floor(w) copies, and the fractional remainder
+    goes to the documents whose md5 bucket sorts below frac(w)'s
+    threshold — the SAME decision rule as stratified_sample, so
+    repeats/resumes replicate the identical epoch layout. Pure
+    map-side: one projection, no shuffle, no RNG. Output is the copy
+    count per doc (the materialization step would explode by it)."""
+    docs = _load(spark, sf_dir, "documents")
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(_UP_SALT + ":"), F.col("doc_id").cast("string"))),
+        1,
+        8,
+    )
+    n_copies = F.lit(int(_UP_DEFAULT))
+    extra = F.lit(_up_hex(_UP_DEFAULT % 1))
+    for lang, w in sorted(_UP_WEIGHTS.items()):
+        n_copies = F.when(F.col("lang") == lang, F.lit(int(w))).otherwise(
+            n_copies
+        )
+        extra = F.when(
+            F.col("lang") == lang, F.lit(_up_hex(w % 1))
+        ).otherwise(extra)
+    return docs.select(
+        "doc_id",
+        "lang",
+        (n_copies + (bucket < extra).cast("int")).cast("long").alias(
+            "n_copies"
+        ),
+    )
+
+
+def _up_case(fn) -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {fn(w)}" for lang, w in sorted(_UP_WEIGHTS.items())
+    )
+    return f"CASE lang {cases} ELSE {fn(_UP_DEFAULT)} END"
+
+
+SQL_TEXT_UPSAMPLE = f"""
+    SELECT doc_id, lang,
+           CAST(({_up_case(lambda w: int(w))})
+                + CASE WHEN substr(md5('{_UP_SALT}:'
+                                       || CAST(doc_id AS VARCHAR)), 1, 8)
+                            < ({_up_case(lambda w: "'" + _up_hex(w % 1) + "'")})
+                       THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+    FROM documents
+"""
+
+
 # -- corpus vocabulary top-k ---------------------------------------------------
 
 _VOCAB_K = 20
@@ -3229,6 +3293,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_conv_stats": q_kg_conv_stats,
     "text_render_chat": q_text_render_chat,
     "text_vocab_topk": q_text_vocab_topk,
+    "text_upsample": q_text_upsample,
     "kg_incremental_edges": q_kg_incremental_edges,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "rel_pricing_summary": q_rel_pricing_summary,
@@ -3298,6 +3363,7 @@ ORACLES: dict[str, str] = {
     "kg_conv_stats": SQL_KG_CONV_STATS,
     "text_render_chat": SQL_TEXT_RENDER_CHAT,
     "text_vocab_topk": SQL_TEXT_VOCAB_TOPK,
+    "text_upsample": SQL_TEXT_UPSAMPLE,
     "kg_incremental_edges": SQL_KG_CANONICAL_EDGES,
     "pipeline_clean_corpus": SQL_PIPELINE_CLEAN,
     "rel_pricing_summary": SQL_REL_PRICING_SUMMARY,
