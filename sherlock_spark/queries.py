@@ -2375,6 +2375,50 @@ SQL_KG_EDGE_SPANS = f"""
 """
 
 
+# -- sliding turn context (dialogue-window extraction) --------------------------
+
+
+def q_text_turn_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn dialogue context: the previous two turns rendered as
+    "role: text" lines — the sliding-window column an SFT/dialogue
+    pipeline attaches to every target turn. ONE window over
+    (conv_id ORDER BY turn_idx) — partitioned per conversation, never
+    global; two lags, no self-join. Context bytes are md5-pinned."""
+    t = _transcripts(spark, sf_dir)
+    line = F.concat(F.col("role"), F.lit(": "), F.col("text"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ctx = F.concat_ws(
+        "\n",
+        F.filter(
+            F.array(F.lag(line, 2).over(w), F.lag(line, 1).over(w)),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    return t.select(
+        "conv_id",
+        F.col("turn_idx").cast("long"),
+        F.length(ctx).cast("long").alias("n_context_chars"),
+        F.md5(ctx).alias("context_md5"),
+    )
+
+
+SQL_TEXT_TURN_CONTEXT = f"""
+    WITH t AS ({_T_SQL}),
+    lagged AS (
+        SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+               LAG(role || ': ' || text, 2) OVER w AS p2,
+               LAG(role || ': ' || text, 1) OVER w AS p1
+        FROM t
+        WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    )
+    SELECT conv_id, turn_idx,
+           CAST(length(concat_ws(chr(10), p2, p1)) AS BIGINT)
+               AS n_context_chars,
+           md5(concat_ws(chr(10), p2, p1)) AS context_md5
+    FROM lagged
+"""
+
+
 # -- deterministic upsampling (epoch mixing) -----------------------------------
 
 _UP_WEIGHTS = {"en": 2.3, "de": 1.5}
@@ -3294,6 +3338,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_render_chat": q_text_render_chat,
     "text_vocab_topk": q_text_vocab_topk,
     "text_upsample": q_text_upsample,
+    "text_turn_context": q_text_turn_context,
     "kg_incremental_edges": q_kg_incremental_edges,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "rel_pricing_summary": q_rel_pricing_summary,
@@ -3364,6 +3409,7 @@ ORACLES: dict[str, str] = {
     "text_render_chat": SQL_TEXT_RENDER_CHAT,
     "text_vocab_topk": SQL_TEXT_VOCAB_TOPK,
     "text_upsample": SQL_TEXT_UPSAMPLE,
+    "text_turn_context": SQL_TEXT_TURN_CONTEXT,
     "kg_incremental_edges": SQL_KG_CANONICAL_EDGES,
     "pipeline_clean_corpus": SQL_PIPELINE_CLEAN,
     "rel_pricing_summary": SQL_REL_PRICING_SUMMARY,
