@@ -2375,6 +2375,48 @@ SQL_KG_EDGE_SPANS = f"""
 """
 
 
+# -- unigram LM surprisal (CCNet-style quality score) ---------------------------
+
+
+def q_text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average unigram surprisal -avg(ln p(w)) against the
+    corpus's own word distribution — the CCNet/KenLM-style LM quality
+    filter reduced to its order-0 form: boilerplate full of common
+    words scores low, gibberish-heavy docs score high. Scale shape:
+    one hash agg for the unigram table (Zipf-bounded vocabulary —
+    broadcast at practical sizes, left to AQE here), one for the total,
+    explode + join + per-doc agg. Scores round to 4 before the compare
+    (double sum order differs across engines in the last ulp)."""
+    docs = _load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = words.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    scored = words.join(vocab, "term").crossJoin(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.round(
+            -F.avg(F.log(F.col("cnt") / F.col("total"))), 4
+        ).alias("avg_surprisal"),
+    )
+
+
+SQL_TEXT_LM_SURPRISAL = """
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    words AS (SELECT doc_id, term FROM w WHERE term <> ''),
+    vocab AS (SELECT term, count(*) AS cnt FROM words GROUP BY term),
+    total AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           ROUND(-AVG(ln(cnt / total)), 4) AS avg_surprisal
+    FROM words JOIN vocab USING (term) CROSS JOIN total
+    GROUP BY doc_id
+"""
+
+
 # -- sliding turn context (dialogue-window extraction) --------------------------
 
 
@@ -3339,6 +3381,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_vocab_topk": q_text_vocab_topk,
     "text_upsample": q_text_upsample,
     "text_turn_context": q_text_turn_context,
+    "text_lm_surprisal": q_text_lm_surprisal,
     "kg_incremental_edges": q_kg_incremental_edges,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "rel_pricing_summary": q_rel_pricing_summary,
@@ -3410,6 +3453,7 @@ ORACLES: dict[str, str] = {
     "text_vocab_topk": SQL_TEXT_VOCAB_TOPK,
     "text_upsample": SQL_TEXT_UPSAMPLE,
     "text_turn_context": SQL_TEXT_TURN_CONTEXT,
+    "text_lm_surprisal": SQL_TEXT_LM_SURPRISAL,
     "kg_incremental_edges": SQL_KG_CANONICAL_EDGES,
     "pipeline_clean_corpus": SQL_PIPELINE_CLEAN,
     "rel_pricing_summary": SQL_REL_PRICING_SUMMARY,
