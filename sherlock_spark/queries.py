@@ -2375,6 +2375,111 @@ SQL_KG_EDGE_SPANS = f"""
 """
 
 
+# -- entity co-occurrence PMI ----------------------------------------------------
+
+
+def q_kg_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level pointwise mutual information between
+    canonical entities — the relation-DISCOVERY signal that precedes
+    relation classification (which entity pairs co-occur more than
+    chance predicts). Entities resolve through the same canonical map
+    as the edge table; presence is per-conversation (distinct), the
+    pair join is within-conversation only (bounded by per-conversation
+    entity-set size, same blowup bound as mention pairs), and PMI =
+    ln(c_ab * N / (c_a * c_b)) rounds to 4 before the compare. Pairs
+    seen in fewer than 2 conversations are dropped (noise floor)."""
+    annotated, canonical_map, _trip = _kg_stages(spark, sf_dir)
+    ments = annotated.select(
+        "conv_id", F.explode("ments").alias("m"), "words"
+    )
+    ents = ments.select(
+        "conv_id",
+        F.lower(F.element_at("words", F.col("m.start") + 1)).alias(
+            "ment_norm"
+        ),
+        F.col("m.label").alias("ment_label"),
+    )
+    resolved = (
+        ents.join(canonical_map, ["ment_norm", "ment_label"], "left")
+        .select(
+            "conv_id",
+            F.coalesce(
+                "canonical_id",
+                F.concat(F.lit("a:"), "ment_label", F.lit(":"), "ment_norm"),
+            ).alias("ent"),
+        )
+        .distinct()
+    )
+    ent_counts = resolved.groupBy("ent").agg(F.count("*").alias("c"))
+    n_convs = resolved.agg(
+        F.count_distinct("conv_id").cast("double").alias("n")
+    )
+    a = resolved.select("conv_id", F.col("ent").alias("ent_a"))
+    b = resolved.select("conv_id", F.col("ent").alias("ent_b"))
+    pairs = (
+        a.join(b, "conv_id")
+        .filter(F.col("ent_a") < F.col("ent_b"))
+        .groupBy("ent_a", "ent_b")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 2)
+    )
+    return (
+        pairs.join(
+            ent_counts.select(F.col("ent").alias("ent_a"), F.col("c").alias("ca")),
+            "ent_a",
+        )
+        .join(
+            ent_counts.select(F.col("ent").alias("ent_b"), F.col("c").alias("cb")),
+            "ent_b",
+        )
+        .crossJoin(F.broadcast(n_convs))
+        .select(
+            "ent_a",
+            "ent_b",
+            F.col("c_ab").cast("long").alias("n_coconvs"),
+            F.round(
+                F.log(F.col("c_ab") * F.col("n") / (F.col("ca") * F.col("cb"))),
+                4,
+            ).alias("pmi"),
+        )
+    )
+
+
+SQL_KG_COOCCURRENCE_PMI = f"""
+    WITH t AS ({_T_SQL}), {_TOKENS_SQL}, {_MENTIONS_SQL},
+    aliases(alias, kb_id, ent_type) AS (VALUES {_ALIAS_VALUES}),
+    canon AS (
+        SELECT a1.alias, a1.ent_type,
+               (SELECT min('a:' || a2.ent_type || ':' || a2.alias)
+                FROM aliases a2 WHERE a2.kb_id = a1.kb_id) AS canonical_id
+        FROM aliases a1
+    ),
+    ents AS (
+        SELECT DISTINCT m.conv_id,
+               COALESCE(c.canonical_id,
+                        'a:' || m.label || ':' || lower(m.surface)) AS ent
+        FROM mentions m
+        LEFT JOIN canon c
+          ON lower(m.surface) = c.alias AND m.label = c.ent_type
+    ),
+    ec AS (SELECT ent, count(*) AS c FROM ents GROUP BY ent),
+    n AS (SELECT CAST(count(DISTINCT conv_id) AS DOUBLE) AS n FROM ents),
+    pairs AS (
+        SELECT a.ent AS ent_a, b.ent AS ent_b, count(*) AS c_ab
+        FROM ents a JOIN ents b
+          ON a.conv_id = b.conv_id AND a.ent < b.ent
+        GROUP BY a.ent, b.ent
+        HAVING count(*) >= 2
+    )
+    SELECT ent_a, ent_b, CAST(c_ab AS BIGINT) AS n_coconvs,
+           ROUND(ln(c_ab * n.n / (ca.c * cb.c)), 4) AS pmi
+    FROM pairs
+    JOIN ec ca ON ca.ent = pairs.ent_a
+    JOIN ec cb ON cb.ent = pairs.ent_b
+    CROSS JOIN n
+"""
+
+
 # -- unigram LM surprisal (CCNet-style quality score) ---------------------------
 
 
@@ -3382,6 +3487,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_upsample": q_text_upsample,
     "text_turn_context": q_text_turn_context,
     "text_lm_surprisal": q_text_lm_surprisal,
+    "kg_cooccurrence_pmi": q_kg_cooccurrence_pmi,
     "kg_incremental_edges": q_kg_incremental_edges,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "rel_pricing_summary": q_rel_pricing_summary,
@@ -3454,6 +3560,7 @@ ORACLES: dict[str, str] = {
     "text_upsample": SQL_TEXT_UPSAMPLE,
     "text_turn_context": SQL_TEXT_TURN_CONTEXT,
     "text_lm_surprisal": SQL_TEXT_LM_SURPRISAL,
+    "kg_cooccurrence_pmi": SQL_KG_COOCCURRENCE_PMI,
     "kg_incremental_edges": SQL_KG_CANONICAL_EDGES,
     "pipeline_clean_corpus": SQL_PIPELINE_CLEAN,
     "rel_pricing_summary": SQL_REL_PRICING_SUMMARY,
