@@ -2375,6 +2375,37 @@ SQL_KG_EDGE_SPANS = f"""
 """
 
 
+# -- incremental dedup (two-batch == one-batch) ----------------------------------
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup: the corpus split into an "existing"
+    batch (even doc_ids) and an "arriving" batch (odd), processed the
+    way a production run would — within-A pairs (already known),
+    within-B pairs, and the A-vs-B cross check — and unioned. The
+    oracle is the SINGLE-batch exact-pair SQL, so the gate pins the
+    incremental decomposition's completeness: a document's shingles,
+    minhash signature, and band buckets are pure functions of its
+    content, so candidacy is corpus-independent and the three runs
+    cover exactly the one-batch candidate set. This is the
+    checkpoint/append soundness argument for dedup, mirroring
+    ``kg_incremental_edges``."""
+    from sherlock_spark.functions.dedup import minhash_dedup_pairs
+
+    documents = _load(spark, sf_dir, "documents")
+    batch_a = documents.filter(F.col("doc_id") % 2 == 0)
+    batch_b = documents.filter(F.col("doc_id") % 2 == 1)
+    within_a = minhash_dedup_pairs(batch_a, 0.8, 32, 16, 3)
+    within_b = minhash_dedup_pairs(batch_b, 0.8, 32, 16, 3)
+    cross = minhash_dedup_pairs(documents, 0.8, 32, 16, 3).filter(
+        (F.col("doc_a") % 2) != (F.col("doc_b") % 2)
+    )
+    return within_a.unionByName(within_b).unionByName(cross)
+
+
+SQL_DEDUP_INCREMENTAL = SQL_DEDUP_NGRAM
+
+
 # -- entity co-occurrence PMI ----------------------------------------------------
 
 
@@ -3488,6 +3519,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_turn_context": q_text_turn_context,
     "text_lm_surprisal": q_text_lm_surprisal,
     "kg_cooccurrence_pmi": q_kg_cooccurrence_pmi,
+    "dedup_incremental": q_dedup_incremental,
     "kg_incremental_edges": q_kg_incremental_edges,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "rel_pricing_summary": q_rel_pricing_summary,
@@ -3561,6 +3593,7 @@ ORACLES: dict[str, str] = {
     "text_turn_context": SQL_TEXT_TURN_CONTEXT,
     "text_lm_surprisal": SQL_TEXT_LM_SURPRISAL,
     "kg_cooccurrence_pmi": SQL_KG_COOCCURRENCE_PMI,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "kg_incremental_edges": SQL_KG_CANONICAL_EDGES,
     "pipeline_clean_corpus": SQL_PIPELINE_CLEAN,
     "rel_pricing_summary": SQL_REL_PRICING_SUMMARY,
