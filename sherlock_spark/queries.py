@@ -2375,6 +2375,76 @@ SQL_KG_EDGE_SPANS = f"""
 """
 
 
+# -- event funnel (ordered-sequence detection) -----------------------------------
+
+
+def q_rel_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-stage funnel (view -> click -> purchase, strictly
+    increasing timestamps): users surviving each stage — the
+    ordered-sequence analytics primitive. Min-timestamp chaining: each
+    stage is one filtered aggregation joined to the previous stage's
+    per-user earliest completion (per-user tables shrink every stage;
+    joins left to AQE — broadcastable once the funnel narrows).
+    Strictly-greater ordering makes ties non-qualifying, so both
+    engines count identical users."""
+    e = _load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("es"),
+    )
+
+    def stage_after(event_type, prev, prev_col, out_col):
+        step = e.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            step = step.join(prev, "user_id").filter(
+                F.col("es") > F.col(prev_col)
+            )
+        return step.groupBy("user_id").agg(F.min("es").alias(out_col))
+
+    t1 = stage_after("view", None, None, "t1")
+    t2 = stage_after("click", t1, "t1", "t2")
+    t3 = stage_after("purchase", t2, "t2", "t3")
+    rows = [
+        t1.agg(F.lit("1_view").alias("funnel_stage"),
+               F.count("*").cast("long").alias("n_users")),
+        t2.agg(F.lit("2_view_click").alias("funnel_stage"),
+               F.count("*").cast("long").alias("n_users")),
+        t3.agg(F.lit("3_view_click_purchase").alias("funnel_stage"),
+               F.count("*").cast("long").alias("n_users")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+SQL_REL_EVENTS_FUNNEL = """
+    WITH e AS (
+        SELECT user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es
+        FROM events
+    ),
+    t1 AS (
+        SELECT user_id, MIN(es) AS t1 FROM e
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+        SELECT e.user_id, MIN(es) AS t2 FROM e JOIN t1 USING (user_id)
+        WHERE event_type = 'click' AND es > t1 GROUP BY e.user_id
+    ),
+    t3 AS (
+        SELECT e.user_id, MIN(es) AS t3 FROM e JOIN t2 USING (user_id)
+        WHERE event_type = 'purchase' AND es > t2 GROUP BY e.user_id
+    )
+    SELECT '1_view' AS funnel_stage,
+           CAST(count(*) AS BIGINT) AS n_users FROM t1
+    UNION ALL
+    SELECT '2_view_click', CAST(count(*) AS BIGINT) FROM t2
+    UNION ALL
+    SELECT '3_view_click_purchase', CAST(count(*) AS BIGINT) FROM t3
+"""
+
+
 # -- incremental dedup (two-batch == one-batch) ----------------------------------
 
 
@@ -3520,6 +3590,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lm_surprisal": q_text_lm_surprisal,
     "kg_cooccurrence_pmi": q_kg_cooccurrence_pmi,
     "dedup_incremental": q_dedup_incremental,
+    "rel_events_funnel": q_rel_events_funnel,
     "kg_incremental_edges": q_kg_incremental_edges,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "rel_pricing_summary": q_rel_pricing_summary,
@@ -3594,6 +3665,7 @@ ORACLES: dict[str, str] = {
     "text_lm_surprisal": SQL_TEXT_LM_SURPRISAL,
     "kg_cooccurrence_pmi": SQL_KG_COOCCURRENCE_PMI,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "rel_events_funnel": SQL_REL_EVENTS_FUNNEL,
     "kg_incremental_edges": SQL_KG_CANONICAL_EDGES,
     "pipeline_clean_corpus": SQL_PIPELINE_CLEAN,
     "rel_pricing_summary": SQL_REL_PRICING_SUMMARY,
