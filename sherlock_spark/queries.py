@@ -2375,6 +2375,52 @@ SQL_KG_EDGE_SPANS = f"""
 """
 
 
+# -- cohort retention --------------------------------------------------------------
+
+
+def q_rel_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-activity week, counted
+    in every later week they return — the engagement-matrix primitive.
+    Two hash aggregations (per-user cohort, then distinct
+    (cohort, offset, user)) + one user join (per-user cohort table,
+    AQE-broadcastable); week arithmetic is integer epoch division so
+    both engines bucket identically."""
+    week = 7 * 86400
+    e = _load(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("ts").cast("timestamp_ltz").cast("long") / week)
+        .cast("long")
+        .alias("wk"),
+    )
+    cohort = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        e.join(cohort, "user_id")
+        .select(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("wk_offset"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("cohort_wk", "wk_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+SQL_REL_EVENTS_RETENTION = """
+    WITH e AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // (7 * 86400) AS wk
+        FROM events
+    ),
+    cohort AS (
+        SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id
+    )
+    SELECT cohort_wk, wk - cohort_wk AS wk_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM e JOIN cohort USING (user_id)
+    GROUP BY cohort_wk, wk - cohort_wk
+"""
+
+
 # -- event funnel (ordered-sequence detection) -----------------------------------
 
 
@@ -3591,6 +3637,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_cooccurrence_pmi": q_kg_cooccurrence_pmi,
     "dedup_incremental": q_dedup_incremental,
     "rel_events_funnel": q_rel_events_funnel,
+    "rel_events_retention": q_rel_events_retention,
     "kg_incremental_edges": q_kg_incremental_edges,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "rel_pricing_summary": q_rel_pricing_summary,
@@ -3666,6 +3713,7 @@ ORACLES: dict[str, str] = {
     "kg_cooccurrence_pmi": SQL_KG_COOCCURRENCE_PMI,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "rel_events_funnel": SQL_REL_EVENTS_FUNNEL,
+    "rel_events_retention": SQL_REL_EVENTS_RETENTION,
     "kg_incremental_edges": SQL_KG_CANONICAL_EDGES,
     "pipeline_clean_corpus": SQL_PIPELINE_CLEAN,
     "rel_pricing_summary": SQL_REL_PRICING_SUMMARY,
