@@ -2375,6 +2375,65 @@ SQL_KG_EDGE_SPANS = f"""
 """
 
 
+# -- hourly rate anomalies -----------------------------------------------------------
+
+
+def q_rel_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-rate anomalies: hours whose count sits more than 2
+    sample standard deviations from their event_type's hourly mean —
+    the monitoring primitive over the event stream. Two hash
+    aggregations (hourly counts, then per-type moments); the z-score
+    computes from explicit sum/sumsq moments (identical closed form in
+    both engines) and rounds to 4 before the compare."""
+    hours = (
+        _load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (F.col("ts").cast("timestamp_ltz").cast("long") / 3600)
+            .cast("long")
+            .alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    moments = hours.groupBy("event_type").agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    joined = hours.join(F.broadcast(moments), "event_type")
+    mean = F.col("s") / F.col("k")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("k")) / (
+        F.col("k") - 1
+    )
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        joined.withColumn("z", F.round(z, 4))
+        .filter(F.abs(F.col("z")) > 2.0)
+        .select(
+            "event_type", "hr", F.col("n").cast("long").alias("n_events"), "z"
+        )
+    )
+
+
+SQL_REL_EVENTS_ANOMALY = """
+    WITH hours AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM events GROUP BY event_type, 2
+    ),
+    moments AS (
+        SELECT event_type, count(*) AS k, SUM(n) AS s, SUM(n * n) AS ss
+        FROM hours GROUP BY event_type
+    )
+    SELECT event_type, hr, CAST(n AS BIGINT) AS n_events,
+           ROUND((n - s / k) / sqrt((ss - s * s / k) / (k - 1)), 4) AS z
+    FROM hours JOIN moments USING (event_type)
+    WHERE abs(ROUND((n - s / k) / sqrt((ss - s * s / k) / (k - 1)), 4)) > 2.0
+"""
+
+
 # -- cohort retention --------------------------------------------------------------
 
 
@@ -3638,6 +3697,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": q_dedup_incremental,
     "rel_events_funnel": q_rel_events_funnel,
     "rel_events_retention": q_rel_events_retention,
+    "rel_events_anomaly": q_rel_events_anomaly,
     "kg_incremental_edges": q_kg_incremental_edges,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "rel_pricing_summary": q_rel_pricing_summary,
@@ -3714,6 +3774,7 @@ ORACLES: dict[str, str] = {
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "rel_events_funnel": SQL_REL_EVENTS_FUNNEL,
     "rel_events_retention": SQL_REL_EVENTS_RETENTION,
+    "rel_events_anomaly": SQL_REL_EVENTS_ANOMALY,
     "kg_incremental_edges": SQL_KG_CANONICAL_EDGES,
     "pipeline_clean_corpus": SQL_PIPELINE_CLEAN,
     "rel_pricing_summary": SQL_REL_PRICING_SUMMARY,
