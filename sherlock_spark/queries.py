@@ -2375,6 +2375,67 @@ SQL_KG_EDGE_SPANS = f"""
 """
 
 
+# -- int8 embedding quantization error ----------------------------------------------
+
+
+def q_emb_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization error profile per vector (symmetric,
+    per-vector scale = max|x|/127, nearest level via floor(x+0.5) —
+    identical closed form in both engines): max error and mean squared
+    error in units of quantization STEPS, the accept/reject report
+    before compressing a vector index 4x. All JVM array higher-order
+    functions — no explode, no shuffle beyond the scan."""
+    emb = _load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    s = F.array_max(F.transform("v", F.abs))
+    # per-component error in steps: x*127/s - round-to-nearest level
+    step_err = F.transform(
+        "v",
+        lambda x: x * 127.0 / F.col("s")
+        - F.floor(x * 127.0 / F.col("s") + 0.5),
+    )
+    dim = F.size("v")
+    return (
+        emb.withColumn("s", s)
+        .withColumn("e", step_err)
+        .select(
+            "vec_id",
+            F.round(F.array_max(F.transform("e", F.abs)), 4).alias(
+                "max_step_err"
+            ),
+            F.round(
+                F.aggregate(
+                    "e", F.lit(0.0), lambda acc, x: acc + x * x
+                )
+                / dim,
+                4,
+            ).alias("mse_steps"),
+        )
+    )
+
+
+SQL_EMB_QUANTIZE_ERROR = """
+    WITH comp AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, v, MAX(abs(v)) OVER (PARTITION BY vec_id) AS s
+        FROM comp
+    ),
+    err AS (
+        SELECT vec_id,
+               v * 127.0 / s - floor(v * 127.0 / s + 0.5) AS e
+        FROM scaled
+    )
+    SELECT vec_id, ROUND(MAX(abs(e)), 4) AS max_step_err,
+           ROUND(SUM(e * e) / count(*), 4) AS mse_steps
+    FROM err GROUP BY vec_id
+"""
+
+
 # -- hourly rate anomalies -----------------------------------------------------------
 
 
@@ -3698,6 +3759,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_events_funnel": q_rel_events_funnel,
     "rel_events_retention": q_rel_events_retention,
     "rel_events_anomaly": q_rel_events_anomaly,
+    "emb_quantize_error": q_emb_quantize_error,
     "kg_incremental_edges": q_kg_incremental_edges,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "rel_pricing_summary": q_rel_pricing_summary,
@@ -3775,6 +3837,7 @@ ORACLES: dict[str, str] = {
     "rel_events_funnel": SQL_REL_EVENTS_FUNNEL,
     "rel_events_retention": SQL_REL_EVENTS_RETENTION,
     "rel_events_anomaly": SQL_REL_EVENTS_ANOMALY,
+    "emb_quantize_error": SQL_EMB_QUANTIZE_ERROR,
     "kg_incremental_edges": SQL_KG_CANONICAL_EDGES,
     "pipeline_clean_corpus": SQL_PIPELINE_CLEAN,
     "rel_pricing_summary": SQL_REL_PRICING_SUMMARY,
