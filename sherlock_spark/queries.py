@@ -2375,6 +2375,63 @@ SQL_KG_EDGE_SPANS = f"""
 """
 
 
+# -- RFM customer segmentation -------------------------------------------------------
+
+
+def q_rel_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (last order date),
+    frequency (order count), monetary (total spend), each cut into
+    quartiles with NTILE — the standard customer-scoring primitive.
+    ONE hash aggregation + three per-metric window ranks; every NTILE
+    ordering carries o_custkey as the tiebreak so both engines assign
+    identical quartiles (NTILE on a non-unique key would be
+    engine-dependent). Scale note: the global NTILE sorts the
+    CUSTOMER-grain table (orders-of-magnitude smaller than the fact
+    scan feeding it); at billions of customers swap the exact quartile
+    for approx_percentile threshold cuts — same output schema, no
+    global sort."""
+    per_cust = (
+        _load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+    )
+    r_w = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
+    f_w = Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey"))
+    m_w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    return per_cust.select(
+        F.col("o_custkey").cast("long"),
+        F.col("last_order").cast("string"),
+        "n_orders",
+        "spend",
+        F.ntile(4).over(r_w).cast("long").alias("r_quartile"),
+        F.ntile(4).over(f_w).cast("long").alias("f_quartile"),
+        F.ntile(4).over(m_w).cast("long").alias("m_quartile"),
+    )
+
+
+SQL_REL_CUSTOMER_RFM = """
+    WITH per_cust AS (
+        SELECT o_custkey, MAX(o_orderdate) AS last_order,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS spend
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(last_order AS VARCHAR) AS last_order, n_orders, spend,
+           CAST(NTILE(4) OVER (ORDER BY last_order DESC, o_custkey)
+                AS BIGINT) AS r_quartile,
+           CAST(NTILE(4) OVER (ORDER BY n_orders DESC, o_custkey)
+                AS BIGINT) AS f_quartile,
+           CAST(NTILE(4) OVER (ORDER BY spend DESC, o_custkey)
+                AS BIGINT) AS m_quartile
+    FROM per_cust
+"""
+
+
 # -- int8 embedding quantization error ----------------------------------------------
 
 
@@ -3760,6 +3817,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_events_retention": q_rel_events_retention,
     "rel_events_anomaly": q_rel_events_anomaly,
     "emb_quantize_error": q_emb_quantize_error,
+    "rel_customer_rfm": q_rel_customer_rfm,
     "kg_incremental_edges": q_kg_incremental_edges,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "rel_pricing_summary": q_rel_pricing_summary,
@@ -3838,6 +3896,7 @@ ORACLES: dict[str, str] = {
     "rel_events_retention": SQL_REL_EVENTS_RETENTION,
     "rel_events_anomaly": SQL_REL_EVENTS_ANOMALY,
     "emb_quantize_error": SQL_EMB_QUANTIZE_ERROR,
+    "rel_customer_rfm": SQL_REL_CUSTOMER_RFM,
     "kg_incremental_edges": SQL_KG_CANONICAL_EDGES,
     "pipeline_clean_corpus": SQL_PIPELINE_CLEAN,
     "rel_pricing_summary": SQL_REL_PRICING_SUMMARY,
