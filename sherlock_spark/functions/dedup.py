@@ -572,3 +572,95 @@ def decontaminate(
         .distinct()
     )
     return corpus.join(contaminated, "doc_id", "left_anti")
+
+
+def ngram_jaccard_prefix_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via PREFIX FILTERING (the
+    PPJoin/AllPairs family) — a provable-recall alternative to
+    shared-shingle blocking and MinHash banding: order every document's
+    shingles by global rarity (document frequency asc, shingle asc —
+    one total order for the whole corpus), keep only each document's
+    first ``|x| - ceil(t*|x|) + 1`` shingles as its PREFIX, and join on
+    prefix shingles. Any pair with J >= t MUST share a prefix shingle
+    under a common total order (the prefix-filter theorem), so recall
+    is 1.0 BY CONSTRUCTION — not a property of the corpus, unlike the
+    banding gates. Candidates are verified by exact Jaccard as usual.
+
+    Scale shape: one df aggregation, one per-DOCUMENT rank window
+    (partitioned by doc_id — never global), a candidate equi-join on
+    the (rarity-skewed) prefix shingles — rare shingles carry tiny
+    document lists, which is exactly why the rarest-first order is the
+    right one — then the same intersect/verify aggregation as the
+    exact path.
+    """
+    from pyspark.sql import Window
+
+    shingles = word_shingles(documents, n)
+    doc_freq = shingles.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = shingles.join(doc_freq, "shingle").withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("df").asc(), F.col("shingle").asc()
+            )
+        ),
+    )
+    sizes = shingles.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles")
+    )
+    prefix_len = F.col("n_shingles") - F.ceil(
+        F.lit(threshold) * F.col("n_shingles")
+    ) + 1
+    prefix = (
+        ranked.join(sizes, "doc_id")
+        .filter(F.col("rnk") <= prefix_len)
+        .select("doc_id", "shingle")
+    )
+    cand = (
+        prefix.alias("l")
+        .join(prefix.alias("r"), "shingle")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(
+            shingles.select(F.col("doc_id").alias("doc_a"), "shingle"),
+            "doc_a",
+        )
+        .join(
+            shingles.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sized = (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n_shingles").alias("size_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n_shingles").alias("size_b"),
+            ),
+            "doc_b",
+        )
+    )
+    jac = F.round(
+        F.col("inter")
+        / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        4,
+    )
+    return sized.withColumn("jaccard", jac).filter(
+        F.col("jaccard") >= threshold
+    ).select("doc_a", "doc_b", "jaccard")

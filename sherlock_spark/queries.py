@@ -2668,6 +2668,26 @@ SQL_REL_EVENTS_FUNNEL = """
 """
 
 
+# -- prefix-filtered similarity join ----------------------------------------------
+
+
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered Jaccard join: equals the exact pair
+    set BY THEOREM (prefix filter guarantees every J >= t pair shares a
+    prefix shingle; exact verify removes false candidates) — unlike the
+    MinHash gate, whose equality is a property of this corpus + band
+    config. The third independent formulation of the same answer in the
+    dedup family (blocking, banding, prefix)."""
+    from sherlock_spark.functions.dedup import ngram_jaccard_prefix_pairs
+
+    return ngram_jaccard_prefix_pairs(
+        _load(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
+
+
+SQL_DEDUP_PREFIX_FILTER = SQL_DEDUP_NGRAM
+
+
 # -- incremental dedup (two-batch == one-batch) ----------------------------------
 
 
@@ -3813,6 +3833,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lm_surprisal": q_text_lm_surprisal,
     "kg_cooccurrence_pmi": q_kg_cooccurrence_pmi,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_prefix_filter": q_dedup_prefix_filter,
     "rel_events_funnel": q_rel_events_funnel,
     "rel_events_retention": q_rel_events_retention,
     "rel_events_anomaly": q_rel_events_anomaly,
@@ -3892,6 +3913,7 @@ ORACLES: dict[str, str] = {
     "text_lm_surprisal": SQL_TEXT_LM_SURPRISAL,
     "kg_cooccurrence_pmi": SQL_KG_COOCCURRENCE_PMI,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "dedup_prefix_filter": SQL_DEDUP_PREFIX_FILTER,
     "rel_events_funnel": SQL_REL_EVENTS_FUNNEL,
     "rel_events_retention": SQL_REL_EVENTS_RETENTION,
     "rel_events_anomaly": SQL_REL_EVENTS_ANOMALY,

@@ -322,3 +322,30 @@ def test_label_centroid_outliers_find_planted_mislabel(spark):
         by_label.setdefault(r["label"], []).append((r["rank"], r["vec_id"]))
     assert sorted(by_label[0])[0] == (1, 99)  # the plant is rank 1
     assert len(by_label[0]) == 2 and len(by_label[1]) == 2
+
+
+def test_prefix_filter_pairs_equal_blocking_pairs(spark):
+    from sherlock_spark.functions.dedup import ngram_jaccard_prefix_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " today"),                # near-dup of 1
+            (3, base.replace("quick", "slow")),  # moderate overlap
+            (4, "completely different words entirely unrelated text here"),
+            (5, base + " today"),                # exact dup of 2
+        ],
+        "doc_id long, text string",
+    )
+    blocking = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, n=3, threshold=0.6).collect())
+    )
+    prefix = sorted(
+        map(
+            tuple,
+            ngram_jaccard_prefix_pairs(docs, n=3, threshold=0.6).collect(),
+        )
+    )
+    assert prefix == blocking
+    assert any(p[:2] == (2, 5) for p in prefix)  # the planted dup pair
