@@ -3110,6 +3110,49 @@ SQL_KG_CONV_STATS = f"""
 """
 
 
+# -- reciprocal edges (symmetry audit) -----------------------------------------
+
+
+def q_kg_reciprocal_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity audit: edges asserted in BOTH directions under the
+    same predicate (a-p->b and b-p->a) — evidence the predicate behaves
+    symmetrically (or that extraction double-fires on symmetric
+    surface patterns); a standard KG-quality sweep. One self-join of
+    the (deduplicated, canonical) edge table on the swapped key;
+    a < b keeps one row per unordered pair."""
+    _nodes, edges = _graph_tables(spark, sf_dir)
+    e = edges.select("subj_id", "pred", "obj_id", "n_evidence")
+    fwd = e.alias("f")
+    rev = e.alias("r")
+    return (
+        fwd.join(
+            rev,
+            (F.col("f.subj_id") == F.col("r.obj_id"))
+            & (F.col("f.obj_id") == F.col("r.subj_id"))
+            & (F.col("f.pred") == F.col("r.pred")),
+        )
+        .filter(F.col("f.subj_id") < F.col("f.obj_id"))
+        .select(
+            F.col("f.subj_id").alias("node_a"),
+            F.col("f.pred").alias("pred"),
+            F.col("f.obj_id").alias("node_b"),
+            F.col("f.n_evidence").cast("long").alias("evidence_ab"),
+            F.col("r.n_evidence").cast("long").alias("evidence_ba"),
+        )
+    )
+
+
+SQL_KG_RECIPROCAL_EDGES = f"""
+    WITH ce AS MATERIALIZED ({SQL_KG_CANONICAL_EDGES})
+    SELECT f.subj_id AS node_a, f.pred, f.obj_id AS node_b,
+           f.n_evidence AS evidence_ab, r.n_evidence AS evidence_ba
+    FROM ce f
+    JOIN ce r ON f.subj_id = r.obj_id AND f.obj_id = r.subj_id
+            AND f.pred = r.pred
+    WHERE f.subj_id < f.obj_id
+"""
+
+
 # -- ontology profile (type x predicate x type) -------------------------------
 
 
@@ -3825,6 +3868,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_conflicts": q_kg_conflicts,
     "kg_edge_spans": q_kg_edge_spans,
     "kg_type_matrix": q_kg_type_matrix,
+    "kg_reciprocal_edges": q_kg_reciprocal_edges,
     "kg_conv_stats": q_kg_conv_stats,
     "text_render_chat": q_text_render_chat,
     "text_vocab_topk": q_text_vocab_topk,
@@ -3905,6 +3949,7 @@ ORACLES: dict[str, str] = {
     "kg_conflicts": SQL_KG_CONFLICTS,
     "kg_edge_spans": SQL_KG_EDGE_SPANS,
     "kg_type_matrix": SQL_KG_TYPE_MATRIX,
+    "kg_reciprocal_edges": SQL_KG_RECIPROCAL_EDGES,
     "kg_conv_stats": SQL_KG_CONV_STATS,
     "text_render_chat": SQL_TEXT_RENDER_CHAT,
     "text_vocab_topk": SQL_TEXT_VOCAB_TOPK,
