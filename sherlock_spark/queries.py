@@ -2552,6 +2552,61 @@ SQL_REL_EVENTS_ANOMALY = """
 """
 
 
+# -- conversion latency ---------------------------------------------------------------
+
+
+def q_rel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: seconds from a user's first view
+    to their first purchase AFTER it — the funnel's latency companion.
+    Two filtered aggregations + one shrinking join, then exact p50/p90
+    over the per-user latencies (R-7 parity with the oracle)."""
+    e = _load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("es"),
+    )
+    first_view = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t_view"))
+    )
+    latency = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first_view, "user_id")
+        .filter(F.col("es") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg((F.min("es") - F.min("t_view")).alias("lat_s"))
+    )
+    return latency.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.round(F.percentile("lat_s", 0.5), 4).alias("p50_s"),
+        F.round(F.percentile("lat_s", 0.9), 4).alias("p90_s"),
+    )
+
+
+SQL_REL_CONVERSION_LATENCY = """
+    WITH e AS (
+        SELECT user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es
+        FROM events
+    ),
+    fv AS (
+        SELECT user_id, MIN(es) AS t_view FROM e
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    lat AS (
+        SELECT e.user_id, MIN(es) - MIN(t_view) AS lat_s
+        FROM e JOIN fv USING (user_id)
+        WHERE event_type = 'purchase' AND es > t_view
+        GROUP BY e.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           ROUND(CAST(quantile_cont(lat_s, 0.5) AS DOUBLE), 4) AS p50_s,
+           ROUND(CAST(quantile_cont(lat_s, 0.9) AS DOUBLE), 4) AS p90_s
+    FROM lat
+"""
+
+
 # -- cohort retention --------------------------------------------------------------
 
 
@@ -3881,6 +3936,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_events_funnel": q_rel_events_funnel,
     "rel_events_retention": q_rel_events_retention,
     "rel_events_anomaly": q_rel_events_anomaly,
+    "rel_conversion_latency": q_rel_conversion_latency,
     "emb_quantize_error": q_emb_quantize_error,
     "rel_customer_rfm": q_rel_customer_rfm,
     "kg_incremental_edges": q_kg_incremental_edges,
@@ -3962,6 +4018,7 @@ ORACLES: dict[str, str] = {
     "rel_events_funnel": SQL_REL_EVENTS_FUNNEL,
     "rel_events_retention": SQL_REL_EVENTS_RETENTION,
     "rel_events_anomaly": SQL_REL_EVENTS_ANOMALY,
+    "rel_conversion_latency": SQL_REL_CONVERSION_LATENCY,
     "emb_quantize_error": SQL_EMB_QUANTIZE_ERROR,
     "rel_customer_rfm": SQL_REL_CUSTOMER_RFM,
     "kg_incremental_edges": SQL_KG_CANONICAL_EDGES,
