@@ -2723,6 +2723,39 @@ SQL_REL_EVENTS_FUNNEL = """
 """
 
 
+# -- dup-cluster size distribution ---------------------------------------------------
+
+
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size distribution of the near-dup clusters (how much of the
+    corpus sits in 2-doc pairs vs template farms) plus the dedup yield
+    it implies: removable docs per size class = (size-1) x n_clusters.
+    Two tiny hash aggs on top of the transitive closure."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        (F.count("*") * (F.col("cluster_size") - 1))
+        .cast("long")
+        .alias("n_removable"),
+    ).select(F.col("cluster_size").cast("long"), "n_clusters", "n_removable")
+
+
+SQL_DEDUP_CLUSTER_SIZES = f"""
+    WITH clusters AS MATERIALIZED ({SQL_DEDUP_CLUSTERS}),
+    sizes AS (
+        SELECT cluster_id, count(*) AS cluster_size FROM clusters
+        GROUP BY cluster_id
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(count(*) * (cluster_size - 1) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY cluster_size
+"""
+
+
 # -- prefix-filtered similarity join ----------------------------------------------
 
 
@@ -3933,6 +3966,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_cooccurrence_pmi": q_kg_cooccurrence_pmi,
     "dedup_incremental": q_dedup_incremental,
     "dedup_prefix_filter": q_dedup_prefix_filter,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "rel_events_funnel": q_rel_events_funnel,
     "rel_events_retention": q_rel_events_retention,
     "rel_events_anomaly": q_rel_events_anomaly,
@@ -4015,6 +4049,7 @@ ORACLES: dict[str, str] = {
     "kg_cooccurrence_pmi": SQL_KG_COOCCURRENCE_PMI,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_prefix_filter": SQL_DEDUP_PREFIX_FILTER,
+    "dedup_cluster_sizes": SQL_DEDUP_CLUSTER_SIZES,
     "rel_events_funnel": SQL_REL_EVENTS_FUNNEL,
     "rel_events_retention": SQL_REL_EVENTS_RETENTION,
     "rel_events_anomaly": SQL_REL_EVENTS_ANOMALY,
