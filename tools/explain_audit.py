@@ -409,6 +409,38 @@ def main() -> int:
         plan,
     )
 
+    # 12. round-4e additions: every pairing/funnel stays on equi-joins,
+    #     the prefix filter's rank window is per-document
+    from sherlock_spark.queries import (
+        q_dedup_prefix_filter,
+        q_kg_cooccurrence_pmi,
+        q_rel_events_funnel,
+    )
+
+    # the scalar corpus-count cross join (one broadcast row, same shape
+    # as TF-IDF's N) is the only nested-loop allowed anywhere
+    for qname, qfn, scalar_joins in (
+        ("events_funnel", q_rel_events_funnel, 0),
+        ("cooccurrence_pmi", q_kg_cooccurrence_pmi, 1),
+        ("prefix_filter", q_dedup_prefix_filter, 0),
+    ):
+        plan = plan_of(qfn(spark, sf_dir))
+        check(
+            f"{qname}: equi-joins only (nested loops: "
+            f"{scalar_joins} single-row scalar broadcast allowed), "
+            "no cartesian product, no Python",
+            "CartesianProduct" not in plan
+            and plan.count("BroadcastNestedLoopJoin") <= scalar_joins
+            and "BatchEvalPython" not in plan,
+            plan,
+        )
+    plan = plan_of(q_dedup_prefix_filter(spark, sf_dir))
+    check(
+        "prefix_filter: rarity-rank window partitioned per document",
+        re.search(r"windowspecdefinition\(doc_id", plan) is not None,
+        plan,
+    )
+
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
