@@ -2375,6 +2375,46 @@ SQL_KG_EDGE_SPANS = f"""
 """
 
 
+# -- streaming exactly-once dedup -----------------------------------------------------
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup's exactly-once contract across RESTARTS: the
+    corpus is delivered twice — run 1 streams it, run 2 streams a
+    second copy (new files, identical content) against the SAME
+    checkpoint — and the committed sink must hold each doc_id exactly
+    once. The oracle is plain ``SELECT doc_id, lang FROM documents``,
+    so any cross-run re-emission or loss hash-mismatches."""
+    import os
+    import tempfile
+
+    from sherlock_spark.streaming.stream import stream_dedup_documents
+
+    def build() -> DataFrame:
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "sherlock_stream_dedup",
+            spark.sparkContext.applicationId,
+            sf_dir.strip("/").replace("/", "_"),
+        )
+        input_dir = os.path.join(base, "input")
+        output_dir = os.path.join(base, "deduped")
+        checkpoint_dir = os.path.join(base, "ckpt")
+        docs = _load(spark, sf_dir, "documents")
+        docs.repartition(4).write.mode("overwrite").parquet(input_dir)
+        stream_dedup_documents(spark, input_dir, output_dir, checkpoint_dir)
+        # second delivery: same content, new files, same checkpoint
+        docs.repartition(4).write.mode("append").parquet(input_dir)
+        stream_dedup_documents(spark, input_dir, output_dir, checkpoint_dir)
+        return spark.read.parquet(output_dir)
+
+    deduped = stage(spark, ("stream_dedup", sf_dir), build)
+    return deduped.select(F.col("doc_id").cast("long"), "lang")
+
+
+SQL_STREAM_DEDUP = "SELECT doc_id, lang FROM documents"
+
+
 # -- RFM customer segmentation -------------------------------------------------------
 
 
@@ -3973,6 +4013,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_conversion_latency": q_rel_conversion_latency,
     "emb_quantize_error": q_emb_quantize_error,
     "rel_customer_rfm": q_rel_customer_rfm,
+    "stream_dedup": q_stream_dedup,
     "kg_incremental_edges": q_kg_incremental_edges,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "rel_pricing_summary": q_rel_pricing_summary,
@@ -4056,6 +4097,7 @@ ORACLES: dict[str, str] = {
     "rel_conversion_latency": SQL_REL_CONVERSION_LATENCY,
     "emb_quantize_error": SQL_EMB_QUANTIZE_ERROR,
     "rel_customer_rfm": SQL_REL_CUSTOMER_RFM,
+    "stream_dedup": SQL_STREAM_DEDUP,
     "kg_incremental_edges": SQL_KG_CANONICAL_EDGES,
     "pipeline_clean_corpus": SQL_PIPELINE_CLEAN,
     "rel_pricing_summary": SQL_REL_PRICING_SUMMARY,

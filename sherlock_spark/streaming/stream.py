@@ -228,3 +228,49 @@ def stream_triple_rates(
             "n_turns",
         )
     )
+
+
+def stream_dedup_documents(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Exactly-once streaming dedup of a document feed: append-mode
+    ``dropDuplicates`` on doc_id, state persisted in the checkpoint —
+    re-delivered documents (retries, backfills, a second availableNow
+    run over new files repeating old content) are suppressed ACROSS
+    runs, not just within one. Plain dropDuplicates (no watermark) is
+    deliberate here: the dedup key has no event-time column, so state
+    is the distinct-key set — bounded by corpus cardinality, the same
+    budget an exact-dedup table costs in batch. Use
+    ``dropDuplicatesWithinWatermark`` where keys expire (see
+    ``stream_extract_triples``)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    query = (
+        stream.dropDuplicates(["doc_id"])
+        .select("doc_id", "lang")
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
