@@ -2763,6 +2763,55 @@ SQL_REL_EVENTS_FUNNEL = """
 """
 
 
+# -- cross-source duplication profile -------------------------------------------------
+
+
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where does duplication come from: verified near-dup pairs
+    grouped by the (source, source) combination of their endpoints —
+    within-source boilerplate vs cross-source mirrors read completely
+    differently in a crawl. Pairs reuse the staged MinHash tables; two
+    broadcast-sized joins attach the sources (source pair ordered
+    lexicographically so (a,b) and (b,a) aggregate together)."""
+    documents = _load(spark, sf_dir, "documents")
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    src = documents.select("doc_id", "source")
+    joined = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        joined.select(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
+SQL_DEDUP_CROSS_SOURCE = f"""
+    WITH pairs AS MATERIALIZED ({SQL_DEDUP_NGRAM})
+    SELECT least(da.source, db.source) AS source_x,
+           greatest(da.source, db.source) AS source_y,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    JOIN documents da ON da.doc_id = pairs.doc_a
+    JOIN documents db ON db.doc_id = pairs.doc_b
+    GROUP BY 1, 2
+"""
+
+
 # -- dup-cluster size distribution ---------------------------------------------------
 
 
@@ -4007,6 +4056,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": q_dedup_incremental,
     "dedup_prefix_filter": q_dedup_prefix_filter,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "dedup_cross_source": q_dedup_cross_source,
     "rel_events_funnel": q_rel_events_funnel,
     "rel_events_retention": q_rel_events_retention,
     "rel_events_anomaly": q_rel_events_anomaly,
@@ -4091,6 +4141,7 @@ ORACLES: dict[str, str] = {
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_prefix_filter": SQL_DEDUP_PREFIX_FILTER,
     "dedup_cluster_sizes": SQL_DEDUP_CLUSTER_SIZES,
+    "dedup_cross_source": SQL_DEDUP_CROSS_SOURCE,
     "rel_events_funnel": SQL_REL_EVENTS_FUNNEL,
     "rel_events_retention": SQL_REL_EVENTS_RETENTION,
     "rel_events_anomaly": SQL_REL_EVENTS_ANOMALY,
