@@ -2375,6 +2375,82 @@ SQL_KG_EDGE_SPANS = f"""
 """
 
 
+# -- co-purchase lift ------------------------------------------------------------------
+
+
+def q_rel_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift between parts: P(a,b together) / (P(a)P(b))
+    over orders — the affinity primitive. The pair join is
+    within-order only (bounded by basket size, the same quadratic
+    bound as mention pairs); part counts attach via two
+    vocabulary-sized joins; lift rounds to 4 before the compare.
+    Pairs co-occurring in fewer than 2 orders are dropped."""
+    baskets = (
+        _load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_partkey").alias("part"),
+        )
+        .distinct()
+    )
+    part_counts = baskets.groupBy("part").agg(F.count("*").alias("c"))
+    n_orders = baskets.agg(
+        F.count_distinct("okey").cast("double").alias("n")
+    )
+    a = baskets.select("okey", F.col("part").alias("part_a"))
+    b = baskets.select("okey", F.col("part").alias("part_b"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 2)
+    )
+    return (
+        pairs.join(
+            part_counts.select(F.col("part").alias("part_a"), F.col("c").alias("ca")),
+            "part_a",
+        )
+        .join(
+            part_counts.select(F.col("part").alias("part_b"), F.col("c").alias("cb")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("part_a").cast("long"),
+            F.col("part_b").cast("long"),
+            F.col("c_ab").cast("long").alias("n_coorders"),
+            F.round(
+                F.col("c_ab") * F.col("n") / (F.col("ca") * F.col("cb")), 4
+            ).alias("lift"),
+        )
+    )
+
+
+SQL_REL_COPURCHASE_LIFT = """
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+    ),
+    pc AS (SELECT part, count(*) AS c FROM baskets GROUP BY part),
+    n AS (SELECT CAST(count(DISTINCT okey) AS DOUBLE) AS n FROM baskets),
+    pairs AS (
+        SELECT a.part AS part_a, b.part AS part_b, count(*) AS c_ab
+        FROM baskets a JOIN baskets b
+          ON a.okey = b.okey AND a.part < b.part
+        GROUP BY a.part, b.part
+        HAVING count(*) >= 2
+    )
+    SELECT CAST(part_a AS BIGINT) AS part_a,
+           CAST(part_b AS BIGINT) AS part_b,
+           CAST(c_ab AS BIGINT) AS n_coorders,
+           ROUND(c_ab * n.n / (ca.c * cb.c), 4) AS lift
+    FROM pairs
+    JOIN pc ca ON ca.part = pairs.part_a
+    JOIN pc cb ON cb.part = pairs.part_b
+    CROSS JOIN n
+"""
+
+
 # -- streaming exactly-once dedup -----------------------------------------------------
 
 
@@ -4063,6 +4139,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_conversion_latency": q_rel_conversion_latency,
     "emb_quantize_error": q_emb_quantize_error,
     "rel_customer_rfm": q_rel_customer_rfm,
+    "rel_copurchase_lift": q_rel_copurchase_lift,
     "stream_dedup": q_stream_dedup,
     "kg_incremental_edges": q_kg_incremental_edges,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
@@ -4148,6 +4225,7 @@ ORACLES: dict[str, str] = {
     "rel_conversion_latency": SQL_REL_CONVERSION_LATENCY,
     "emb_quantize_error": SQL_EMB_QUANTIZE_ERROR,
     "rel_customer_rfm": SQL_REL_CUSTOMER_RFM,
+    "rel_copurchase_lift": SQL_REL_COPURCHASE_LIFT,
     "stream_dedup": SQL_STREAM_DEDUP,
     "kg_incremental_edges": SQL_KG_CANONICAL_EDGES,
     "pipeline_clean_corpus": SQL_PIPELINE_CLEAN,
