@@ -2375,6 +2375,99 @@ SQL_KG_EDGE_SPANS = f"""
 """
 
 
+# -- supplier concentration (HHI) -------------------------------------------------------
+
+
+def q_rel_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain concentration: the Herfindahl-Hirschman index of
+    each part's supplier quantity shares (1.0 = single-sourced) plus
+    the supplier count — the risk profile per part. Two stacked hash
+    aggregations; shares and HHI are exact ratios rounded to 4."""
+    li = _load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("part"),
+        F.col("l_suppkey").alias("supp"),
+        F.col("l_quantity").alias("qty"),
+    )
+    per_supp = li.groupBy("part", "supp").agg(F.sum("qty").alias("q"))
+    return (
+        per_supp.groupBy("part")
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.round(
+                F.sum(F.col("q") * F.col("q"))
+                / (F.sum("q") * F.sum("q")),
+                4,
+            ).alias("hhi"),
+        )
+        .select(F.col("part").cast("long"), "n_suppliers", "hhi")
+    )
+
+
+SQL_REL_SUPPLIER_HHI = """
+    WITH per_supp AS (
+        SELECT l_partkey AS part, l_suppkey AS supp,
+               SUM(l_quantity) AS q
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT CAST(part AS BIGINT) AS part,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(q * q) / (SUM(q) * SUM(q)), 4) AS hhi
+    FROM per_supp GROUP BY part
+"""
+
+
+# -- KG component sizes ------------------------------------------------------------------
+
+
+def q_kg_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragmentation profile of the knowledge graph: connected-
+    component sizes over the canonical edge table (predicates ignored)
+    — one number a KG builder watches per batch (a healthy merge run
+    grows the giant component; a broken canonicalizer shatters it).
+    Reuses the iterative CC operator the canonicalizer itself uses;
+    the oracle recomputes components with a recursive CTE."""
+    from sherlock_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    _nodes, edges = _graph_tables(spark, sf_dir)
+    cc = connected_components(
+        edges.select(
+            F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+        )
+    )
+    return (
+        cc.groupBy("component")
+        .agg(F.count("*").alias("component_size"))
+        .groupBy("component_size")
+        .agg(F.count("*").cast("long").alias("n_components"))
+        .select(F.col("component_size").cast("long"), "n_components")
+    )
+
+
+SQL_KG_COMPONENT_SIZES = f"""
+    WITH RECURSIVE ce AS MATERIALIZED ({SQL_KG_CANONICAL_EDGES}),
+    e(src, dst) AS (
+        SELECT subj_id, obj_id FROM ce
+        UNION
+        SELECT obj_id, subj_id FROM ce
+    ),
+    reach(node, label) AS (
+        SELECT src, src FROM e
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+    sizes AS (
+        SELECT component, count(*) AS component_size FROM comp
+        GROUP BY component
+    )
+    SELECT CAST(component_size AS BIGINT) AS component_size,
+           CAST(count(*) AS BIGINT) AS n_components
+    FROM sizes GROUP BY component_size
+"""
+
+
 # -- co-purchase lift ------------------------------------------------------------------
 
 
@@ -4140,6 +4233,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_quantize_error": q_emb_quantize_error,
     "rel_customer_rfm": q_rel_customer_rfm,
     "rel_copurchase_lift": q_rel_copurchase_lift,
+    "rel_supplier_hhi": q_rel_supplier_hhi,
+    "kg_component_sizes": q_kg_component_sizes,
     "stream_dedup": q_stream_dedup,
     "kg_incremental_edges": q_kg_incremental_edges,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
@@ -4226,6 +4321,8 @@ ORACLES: dict[str, str] = {
     "emb_quantize_error": SQL_EMB_QUANTIZE_ERROR,
     "rel_customer_rfm": SQL_REL_CUSTOMER_RFM,
     "rel_copurchase_lift": SQL_REL_COPURCHASE_LIFT,
+    "rel_supplier_hhi": SQL_REL_SUPPLIER_HHI,
+    "kg_component_sizes": SQL_KG_COMPONENT_SIZES,
     "stream_dedup": SQL_STREAM_DEDUP,
     "kg_incremental_edges": SQL_KG_CANONICAL_EDGES,
     "pipeline_clean_corpus": SQL_PIPELINE_CLEAN,
