@@ -2375,6 +2375,79 @@ SQL_KG_EDGE_SPANS = f"""
 """
 
 
+# -- per-source corpus profile -----------------------------------------------------------
+
+
+def q_text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scorecard per ingestion source: doc count, mean length,
+    mean token count, mean quality score — the table a data-recipe
+    review reads before weighting sources. One aggregation over the
+    quality-feature projection (all JVM expressions)."""
+    from sherlock_spark.functions.textstats import (
+        quality_score,
+        with_text_stats,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    stats = quality_score(with_text_stats(docs)).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return stats.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+
+
+# built ON the gated quality oracle, so the per-doc arithmetic can
+# never drift between the two gates
+SQL_TEXT_SOURCE_PROFILE = f"""
+    WITH q AS MATERIALIZED ({SQL_TEXT_QUALITY})
+    SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(q.n_chars), 4) AS avg_chars,
+           ROUND(AVG(q.n_tokens), 4) AS avg_tokens,
+           ROUND(AVG(q.quality), 4) AS avg_quality
+    FROM q JOIN documents d ON d.doc_id = q.doc_id
+    GROUP BY d.source
+"""
+
+
+# -- monthly revenue growth ----------------------------------------------------------------
+
+
+def q_rel_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue with growth rate: one aggregation to
+    month grain, then a single-ordered window lag over the TINY month
+    table (a global window over ~tens of rows — the grain where a
+    global sort is free, unlike row-grain windows)."""
+    monthly = (
+        _load(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 4).alias("mom_growth"),
+    )
+
+
+SQL_REL_REVENUE_GROWTH = """
+    WITH monthly AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           ROUND((revenue - LAG(revenue) OVER (ORDER BY month))
+                 / LAG(revenue) OVER (ORDER BY month), 4) AS mom_growth
+    FROM monthly
+"""
+
+
 # -- supplier concentration (HHI) -------------------------------------------------------
 
 
@@ -4234,6 +4307,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_customer_rfm": q_rel_customer_rfm,
     "rel_copurchase_lift": q_rel_copurchase_lift,
     "rel_supplier_hhi": q_rel_supplier_hhi,
+    "text_source_profile": q_text_source_profile,
+    "rel_revenue_growth": q_rel_revenue_growth,
     "kg_component_sizes": q_kg_component_sizes,
     "stream_dedup": q_stream_dedup,
     "kg_incremental_edges": q_kg_incremental_edges,
@@ -4322,6 +4397,8 @@ ORACLES: dict[str, str] = {
     "rel_customer_rfm": SQL_REL_CUSTOMER_RFM,
     "rel_copurchase_lift": SQL_REL_COPURCHASE_LIFT,
     "rel_supplier_hhi": SQL_REL_SUPPLIER_HHI,
+    "text_source_profile": SQL_TEXT_SOURCE_PROFILE,
+    "rel_revenue_growth": SQL_REL_REVENUE_GROWTH,
     "kg_component_sizes": SQL_KG_COMPONENT_SIZES,
     "stream_dedup": SQL_STREAM_DEDUP,
     "kg_incremental_edges": SQL_KG_CANONICAL_EDGES,
