@@ -2375,6 +2375,103 @@ SQL_KG_EDGE_SPANS = f"""
 """
 
 
+# -- Zipf fit ------------------------------------------------------------------------------
+
+_ZIPF_K = 100
+
+
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-100 vocabulary: the least-squares
+    slope of ln(freq) on ln(rank) (a healthy natural-language corpus
+    sits near -1; machine-generated spam drifts) — corpus-health
+    profiling with a closed-form regression (explicit sum moments,
+    identical arithmetic in both engines, rounded to 4). The ranked
+    table is TakeOrderedAndProject-sized (top-k), so the regression
+    runs over k rows."""
+    words = (
+        _load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    top = (
+        words.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(_ZIPF_K)
+    )
+    ranked = top.select(
+        F.log(
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("term").asc())
+            ).cast("double")
+        ).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("k"),
+        F.round(
+            (F.count("*") * F.sum(F.col("x") * F.col("y"))
+             - F.sum("x") * F.sum("y"))
+            / (F.count("*") * F.sum(F.col("x") * F.col("x"))
+               - F.sum("x") * F.sum("x")),
+            4,
+        ).alias("zipf_slope"),
+    )
+
+
+SQL_TEXT_ZIPF_FIT = f"""
+    WITH top AS (
+        SELECT term, count(*) AS n
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+              FROM documents)
+        WHERE term <> ''
+        GROUP BY term ORDER BY n DESC, term ASC LIMIT {_ZIPF_K}
+    ),
+    ranked AS (
+        SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term ASC)
+                        AS DOUBLE)) AS x,
+               ln(CAST(n AS DOUBLE)) AS y
+        FROM top
+    )
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           ROUND((count(*) * SUM(x * y) - SUM(x) * SUM(y))
+                 / (count(*) * SUM(x * x) - SUM(x) * SUM(x)), 4)
+               AS zipf_slope
+    FROM ranked
+"""
+
+
+# -- degree distribution --------------------------------------------------------------------
+
+
+def q_kg_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the canonical KG (n nodes per total-degree
+    value) — the shape plot (hub-heavy vs uniform) behind the degree
+    centrality table. One extra tiny aggregation over kg_degree."""
+    from sherlock_spark.functions.graph import degree_stats
+
+    _nodes, edges = _graph_tables(spark, sf_dir)
+    deg = degree_stats(
+        edges.select("subj_id", "pred", "obj_id", F.col("n_evidence").cast("long"))
+    )
+    return (
+        deg.select(
+            (F.col("out_degree") + F.col("in_degree")).alias("degree")
+        )
+        .groupBy("degree")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .select(F.col("degree").cast("long"), "n_nodes")
+    )
+
+
+SQL_KG_DEGREE_DISTRIBUTION = f"""
+    WITH d AS MATERIALIZED ({SQL_KG_DEGREE})
+    SELECT CAST(out_degree + in_degree AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM d GROUP BY 1
+"""
+
+
 # -- per-source corpus profile -----------------------------------------------------------
 
 
@@ -4308,6 +4405,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_copurchase_lift": q_rel_copurchase_lift,
     "rel_supplier_hhi": q_rel_supplier_hhi,
     "text_source_profile": q_text_source_profile,
+    "text_zipf_fit": q_text_zipf_fit,
+    "kg_degree_distribution": q_kg_degree_distribution,
     "rel_revenue_growth": q_rel_revenue_growth,
     "kg_component_sizes": q_kg_component_sizes,
     "stream_dedup": q_stream_dedup,
@@ -4398,6 +4497,8 @@ ORACLES: dict[str, str] = {
     "rel_copurchase_lift": SQL_REL_COPURCHASE_LIFT,
     "rel_supplier_hhi": SQL_REL_SUPPLIER_HHI,
     "text_source_profile": SQL_TEXT_SOURCE_PROFILE,
+    "text_zipf_fit": SQL_TEXT_ZIPF_FIT,
+    "kg_degree_distribution": SQL_KG_DEGREE_DISTRIBUTION,
     "rel_revenue_growth": SQL_REL_REVENUE_GROWTH,
     "kg_component_sizes": SQL_KG_COMPONENT_SIZES,
     "stream_dedup": SQL_STREAM_DEDUP,
