@@ -2375,6 +2375,92 @@ SQL_KG_EDGE_SPANS = f"""
 """
 
 
+# -- ship-latency SLA -------------------------------------------------------------------------
+
+
+def q_rel_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfilment SLA per order priority: mean and exact p90 days from
+    order date to line-item ship date. One fact-to-fact equi-join on
+    orderkey (both sides partitioned by the join key at scale —
+    bucketing candidates) + one aggregation; datediff is integer
+    arithmetic in both engines."""
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    lines = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    joined = orders.join(
+        lines, orders.o_orderkey == lines.l_orderkey
+    ).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("lat_days"),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.round(F.avg("lat_days"), 4).alias("avg_days"),
+        F.round(F.percentile("lat_days", 0.9), 4).alias("p90_days"),
+    )
+
+
+SQL_REL_SHIP_LATENCY = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           ROUND(AVG(datediff('day', o_orderdate, l_shipdate)), 4)
+               AS avg_days,
+           ROUND(CAST(quantile_cont(datediff('day', o_orderdate,
+                                             l_shipdate), 0.9) AS DOUBLE),
+                 4) AS p90_days
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+"""
+
+
+# -- duplication rate by language ----------------------------------------------------------------
+
+
+def q_dedup_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which languages carry the duplication: per-language doc count,
+    docs inside a non-singleton dup cluster, and the dup fraction —
+    the slice a recipe uses to decide where dedup effort pays. One
+    cluster-size join over the transitive closure + one aggregation."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    flagged = (
+        docs.join(clusters, "doc_id")
+        .join(sizes, "cluster_id")
+        .select(
+            "lang", (F.col("cluster_size") > 1).cast("int").alias("is_dup")
+        )
+    )
+    return flagged.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dup_docs"),
+        F.round(F.sum("is_dup") / F.count("*"), 4).alias("dup_frac"),
+    )
+
+
+SQL_DEDUP_RATE_BY_LANG = f"""
+    WITH clusters AS MATERIALIZED ({SQL_DEDUP_CLUSTERS}),
+    sizes AS (
+        SELECT cluster_id, count(*) AS cluster_size FROM clusters
+        GROUP BY cluster_id
+    )
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN s.cluster_size > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_docs,
+           ROUND(SUM(CASE WHEN s.cluster_size > 1 THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS dup_frac
+    FROM documents d
+    JOIN clusters c ON c.doc_id = d.doc_id
+    JOIN sizes s ON s.cluster_id = c.cluster_id
+    GROUP BY d.lang
+"""
+
+
 # -- Zipf fit ------------------------------------------------------------------------------
 
 _ZIPF_K = 100
@@ -4406,6 +4492,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_supplier_hhi": q_rel_supplier_hhi,
     "text_source_profile": q_text_source_profile,
     "text_zipf_fit": q_text_zipf_fit,
+    "rel_ship_latency": q_rel_ship_latency,
+    "dedup_rate_by_lang": q_dedup_rate_by_lang,
     "kg_degree_distribution": q_kg_degree_distribution,
     "rel_revenue_growth": q_rel_revenue_growth,
     "kg_component_sizes": q_kg_component_sizes,
@@ -4498,6 +4586,8 @@ ORACLES: dict[str, str] = {
     "rel_supplier_hhi": SQL_REL_SUPPLIER_HHI,
     "text_source_profile": SQL_TEXT_SOURCE_PROFILE,
     "text_zipf_fit": SQL_TEXT_ZIPF_FIT,
+    "rel_ship_latency": SQL_REL_SHIP_LATENCY,
+    "dedup_rate_by_lang": SQL_DEDUP_RATE_BY_LANG,
     "kg_degree_distribution": SQL_KG_DEGREE_DISTRIBUTION,
     "rel_revenue_growth": SQL_REL_REVENUE_GROWTH,
     "kg_component_sizes": SQL_KG_COMPONENT_SIZES,
