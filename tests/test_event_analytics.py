@@ -98,3 +98,61 @@ def test_conversion_latency_first_purchase_after_first_view(spark, tmp_path):
     row = q_rel_conversion_latency(spark, str(tmp_path)).collect()[0]
     assert row["n_converted"] == 2
     assert row["p50_s"] == 200.0  # median of {300, 100} interpolated
+
+
+def test_upsample_copy_counts(spark, tmp_path):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en" if i % 2 == 0 else "zz", "s", 1) for i in range(200)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from sherlock_spark.queries import _UP_SALT, _UP_WEIGHTS, q_text_upsample
+
+    got = {
+        r["doc_id"]: r["n_copies"]
+        for r in q_text_upsample(spark, str(tmp_path)).collect()
+    }
+    # en carries weight 2.3: every en doc gets 2 copies, and exactly the
+    # md5-threshold subset gets a third — replicated here independently
+    frac = _UP_WEIGHTS["en"] % 1
+    thr = format(int(frac * 16**8), "08x")
+    for doc_id, n in got.items():
+        if doc_id % 2 == 1:           # zz -> default weight 1.0
+            assert n == 1
+        else:
+            bucket = hashlib.md5(
+                f"{_UP_SALT}:{doc_id}".encode()
+            ).hexdigest()[:8]
+            assert n == 2 + (1 if bucket < thr else 0)
+    # deterministic: second run identical
+    again = {
+        r["doc_id"]: r["n_copies"]
+        for r in q_text_upsample(spark, str(tmp_path)).collect()
+    }
+    assert again == got
+
+
+def test_render_chat_order_and_roles(spark, tmp_path):
+    import hashlib
+
+    # transcripts_from_documents maps doc_id -> (conv c{id%100},
+    # turn id//100, role by id%3); ids 0/100/200 form conversation c0
+    docs = spark.createDataFrame(
+        [
+            (0, "hello", "en", "s", 5),
+            (100, "hi there", "en", "s", 8),
+            (200, "logged", "en", "s", 6),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from sherlock_spark.queries import q_text_render_chat
+
+    row = q_text_render_chat(spark, str(tmp_path)).collect()[0]
+    rendered = "user: hello\nassistant: hi there\ntool: logged"
+    assert row["conv_id"] == "c0"
+    assert row["n_turns"] == 3
+    assert row["n_chars"] == len(rendered)
+    assert row["rendered_md5"] == hashlib.md5(rendered.encode()).hexdigest()
