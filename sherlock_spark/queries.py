@@ -2375,6 +2375,114 @@ SQL_KG_EDGE_SPANS = f"""
 """
 
 
+# -- nation trade flows ------------------------------------------------------------------------
+
+
+def q_rel_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-nation -> customer-nation revenue flows (TPC-H Q7's
+    shape): two fact joins on the fact keys + three BROADCAST dimension
+    hops (supplier, customer, nation twice under different aliases),
+    aggregated to the nation-pair grain. The flow matrix is the
+    dims-squared-sized output a trade dashboard reads."""
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = _load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    flows = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .join(
+            F.broadcast(nation.select(
+                F.col("n_nationkey").alias("cn_key"),
+                F.col("n_name").alias("cust_nation"),
+            )),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+    )
+    return flows.groupBy("supp_nation", "cust_nation").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.round(F.sum("rev"), 2).alias("revenue"),
+    )
+
+
+SQL_REL_TRADE_FLOWS = """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    GROUP BY 1, 2
+"""
+
+
+# -- weekly stickiness (DAU/WAU) -----------------------------------------------------------------
+
+
+def q_rel_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement stickiness per week: average daily active users over
+    weekly active users — two distinct-count aggregations at different
+    grains joined on the week. Integer epoch day/week bucketing matches
+    across engines."""
+    e = _load(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("ts").cast("timestamp_ltz").cast("long") / 86400)
+        .cast("long")
+        .alias("day"),
+    ).withColumn("wk", (F.col("day") / 7).cast("long"))
+    dau = (
+        e.groupBy("wk", "day")
+        .agg(F.count_distinct("user_id").alias("dau"))
+        .groupBy("wk")
+        .agg(F.avg("dau").alias("avg_dau"))
+    )
+    wau = e.groupBy("wk").agg(F.count_distinct("user_id").alias("wau"))
+    return dau.join(wau, "wk").select(
+        F.col("wk").cast("long"),
+        F.round("avg_dau", 4).alias("avg_dau"),
+        F.col("wau").cast("long"),
+        F.round(F.col("avg_dau") / F.col("wau"), 4).alias("stickiness"),
+    )
+
+
+SQL_REL_EVENTS_STICKINESS = """
+    WITH e AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        FROM events
+    ),
+    d AS (
+        SELECT day // 7 AS wk, day, count(DISTINCT user_id) AS dau
+        FROM e GROUP BY 1, 2
+    ),
+    dau AS (SELECT wk, AVG(dau) AS avg_dau FROM d GROUP BY wk),
+    wau AS (
+        SELECT day // 7 AS wk, count(DISTINCT user_id) AS wau
+        FROM e GROUP BY 1
+    )
+    SELECT wk, ROUND(avg_dau, 4) AS avg_dau,
+           CAST(wau AS BIGINT) AS wau,
+           ROUND(avg_dau / wau, 4) AS stickiness
+    FROM dau JOIN wau USING (wk)
+"""
+
+
 # -- ship-latency SLA -------------------------------------------------------------------------
 
 
@@ -4493,6 +4601,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_source_profile": q_text_source_profile,
     "text_zipf_fit": q_text_zipf_fit,
     "rel_ship_latency": q_rel_ship_latency,
+    "rel_trade_flows": q_rel_trade_flows,
+    "rel_events_stickiness": q_rel_events_stickiness,
     "dedup_rate_by_lang": q_dedup_rate_by_lang,
     "kg_degree_distribution": q_kg_degree_distribution,
     "rel_revenue_growth": q_rel_revenue_growth,
@@ -4587,6 +4697,8 @@ ORACLES: dict[str, str] = {
     "text_source_profile": SQL_TEXT_SOURCE_PROFILE,
     "text_zipf_fit": SQL_TEXT_ZIPF_FIT,
     "rel_ship_latency": SQL_REL_SHIP_LATENCY,
+    "rel_trade_flows": SQL_REL_TRADE_FLOWS,
+    "rel_events_stickiness": SQL_REL_EVENTS_STICKINESS,
     "dedup_rate_by_lang": SQL_DEDUP_RATE_BY_LANG,
     "kg_degree_distribution": SQL_KG_DEGREE_DISTRIBUTION,
     "rel_revenue_growth": SQL_REL_REVENUE_GROWTH,
