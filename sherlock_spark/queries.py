@@ -3820,6 +3820,127 @@ SQL_KG_CONV_STATS = f"""
 """
 
 
+# -- local clustering coefficient ------------------------------------------------
+
+
+def q_kg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node with >= 2 neighbors:
+    2T(v) / (d(v)(d(v)-1)) on the undirected simple graph — how
+    clique-like each entity's neighborhood is (the metric that
+    separates a hub-and-spoke KG from a community-structured one).
+    Reuses the skew-safe triangle operator; degrees are one unpivot
+    aggregation over the distinct undirected pairs."""
+    from sherlock_spark.functions.graph import triangle_counts
+
+    _nodes, edges = _graph_tables(spark, sf_dir)
+    e = edges.select("subj_id", "pred", "obj_id", "n_evidence")
+    und = (
+        e.filter(F.col("subj_id") != F.col("obj_id"))
+        .select(
+            F.least("subj_id", "obj_id").alias("a"),
+            F.greatest("subj_id", "obj_id").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node_id"))
+        .unionAll(und.select(F.col("b").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count("*").alias("d"))
+        .filter(F.col("d") >= 2)
+    )
+    tri = triangle_counts(e)
+    return deg.join(tri, "node_id", "left").select(
+        "node_id",
+        F.col("d").cast("long").alias("degree"),
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+            "n_triangles"
+        ),
+        F.round(
+            2.0 * F.coalesce("n_triangles", F.lit(0))
+            / (F.col("d") * (F.col("d") - 1)),
+            4,
+        ).alias("clustering"),
+    )
+
+
+SQL_KG_CLUSTERING = f"""
+    WITH ce AS MATERIALIZED ({SQL_KG_CANONICAL_EDGES}),
+    und AS (
+        SELECT DISTINCT least(subj_id, obj_id) AS a,
+               greatest(subj_id, obj_id) AS b
+        FROM ce WHERE subj_id <> obj_id
+    ),
+    deg AS (
+        SELECT node_id, count(*) AS d
+        FROM (SELECT a AS node_id FROM und
+              UNION ALL SELECT b FROM und)
+        GROUP BY node_id HAVING count(*) >= 2
+    ),
+    t AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tri AS (
+        SELECT node_id, count(*) AS n_triangles
+        FROM (SELECT x AS node_id FROM t
+              UNION ALL SELECT y FROM t
+              UNION ALL SELECT z FROM t)
+        GROUP BY node_id
+    )
+    SELECT deg.node_id, CAST(d AS BIGINT) AS degree,
+           CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles,
+           ROUND(2.0 * COALESCE(n_triangles, 0) / (d * (d - 1)), 4)
+               AS clustering
+    FROM deg LEFT JOIN tri ON tri.node_id = deg.node_id
+"""
+
+
+# -- hapax rate -------------------------------------------------------------------
+
+
+def q_text_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical richness per source: the hapax-legomenon rate (fraction
+    of the source's vocabulary occurring exactly once) — low hapax
+    rates flag templated/machine-generated sources. Two stacked hash
+    aggregations."""
+    words = (
+        _load(spark, sf_dir, "documents")
+        .select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+    )
+    vocab = words.groupBy("source", "term").agg(F.count("*").alias("n"))
+    return vocab.groupBy("source").agg(
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum((F.col("n") == 1).cast("long")).cast("long").alias("n_hapax"),
+        F.round(
+            F.sum((F.col("n") == 1).cast("long")) / F.count("*"), 4
+        ).alias("hapax_rate"),
+    )
+
+
+SQL_TEXT_HAPAX_RATE = """
+    WITH vocab AS (
+        SELECT source, term, count(*) AS n
+        FROM (SELECT source,
+                     unnest(string_split(lower(text), ' ')) AS term
+              FROM documents)
+        WHERE term <> ''
+        GROUP BY source, term
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           ROUND(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0 / count(*),
+                 4) AS hapax_rate
+    FROM vocab GROUP BY source
+"""
+
+
 # -- reciprocal edges (symmetry audit) -----------------------------------------
 
 
@@ -4579,6 +4700,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_edge_spans": q_kg_edge_spans,
     "kg_type_matrix": q_kg_type_matrix,
     "kg_reciprocal_edges": q_kg_reciprocal_edges,
+    "kg_clustering": q_kg_clustering,
+    "text_hapax_rate": q_text_hapax_rate,
     "kg_conv_stats": q_kg_conv_stats,
     "text_render_chat": q_text_render_chat,
     "text_vocab_topk": q_text_vocab_topk,
@@ -4675,6 +4798,8 @@ ORACLES: dict[str, str] = {
     "kg_edge_spans": SQL_KG_EDGE_SPANS,
     "kg_type_matrix": SQL_KG_TYPE_MATRIX,
     "kg_reciprocal_edges": SQL_KG_RECIPROCAL_EDGES,
+    "kg_clustering": SQL_KG_CLUSTERING,
+    "text_hapax_rate": SQL_TEXT_HAPAX_RATE,
     "kg_conv_stats": SQL_KG_CONV_STATS,
     "text_render_chat": SQL_TEXT_RENDER_CHAT,
     "text_vocab_topk": SQL_TEXT_VOCAB_TOPK,
