@@ -2375,6 +2375,92 @@ SQL_KG_EDGE_SPANS = f"""
 """
 
 
+# -- revenue concentration (Pareto deciles) ------------------------------------------------------
+
+
+def q_rel_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: customers cut into spend deciles (NTILE
+    over the customer-grain table, custkey tiebreak), each decile's
+    revenue share — the 80/20 curve. Fact scan aggregates to customer
+    grain first, so the global window sorts only customers."""
+    spend = (
+        _load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+    )
+    decile = F.ntile(10).over(
+        Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    )
+    per_decile = spend.select(
+        decile.alias("decile"), "spend"
+    ).groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("spend").alias("rev"),
+    )
+    total = per_decile.agg(F.sum("rev").alias("total"))
+    return per_decile.crossJoin(F.broadcast(total)).select(
+        F.col("decile").cast("long"),
+        "n_customers",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.col("total"), 4).alias("share"),
+    )
+
+
+SQL_REL_REVENUE_PARETO = """
+    WITH spend AS (
+        SELECT o_custkey, SUM(o_totalprice) AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    dec AS (
+        SELECT NTILE(10) OVER (ORDER BY spend DESC, o_custkey) AS decile,
+               spend
+        FROM spend
+    ),
+    per AS (
+        SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+               SUM(spend) AS rev
+        FROM dec GROUP BY decile
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+           ROUND(rev, 2) AS revenue,
+           ROUND(rev / (SELECT SUM(rev) FROM per), 4) AS share
+    FROM per
+"""
+
+
+# -- alias coverage (linking quality) --------------------------------------------------------------
+
+
+def q_kg_alias_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linking quality per entity type: how many mentions resolved
+    through the KB alias table vs fell back to surface-derived ids —
+    the coverage metric that tells a KG team where the alias dictionary
+    needs curation. One aggregation over the linked-mention table."""
+    links = q_kg_links(spark, sf_dir)
+    return links.groupBy("ment_label").agg(
+        F.count("*").cast("long").alias("n_mentions"),
+        F.sum(F.col("kb_id").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_linked"),
+        F.round(
+            F.sum(F.col("kb_id").isNotNull().cast("long")) / F.count("*"), 4
+        ).alias("coverage"),
+        F.count_distinct("ment_norm").cast("long").alias("n_surfaces"),
+    )
+
+
+SQL_KG_ALIAS_COVERAGE = f"""
+    WITH links AS MATERIALIZED ({SQL_KG_LINKS})
+    SELECT ment_label, CAST(count(*) AS BIGINT) AS n_mentions,
+           CAST(SUM(CASE WHEN kb_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_linked,
+           ROUND(SUM(CASE WHEN kb_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS coverage,
+           CAST(count(DISTINCT ment_norm) AS BIGINT) AS n_surfaces
+    FROM links GROUP BY ment_label
+"""
+
+
 # -- nation trade flows ------------------------------------------------------------------------
 
 
@@ -4725,6 +4811,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_zipf_fit": q_text_zipf_fit,
     "rel_ship_latency": q_rel_ship_latency,
     "rel_trade_flows": q_rel_trade_flows,
+    "rel_revenue_pareto": q_rel_revenue_pareto,
+    "kg_alias_coverage": q_kg_alias_coverage,
     "rel_events_stickiness": q_rel_events_stickiness,
     "dedup_rate_by_lang": q_dedup_rate_by_lang,
     "kg_degree_distribution": q_kg_degree_distribution,
@@ -4823,6 +4911,8 @@ ORACLES: dict[str, str] = {
     "text_zipf_fit": SQL_TEXT_ZIPF_FIT,
     "rel_ship_latency": SQL_REL_SHIP_LATENCY,
     "rel_trade_flows": SQL_REL_TRADE_FLOWS,
+    "rel_revenue_pareto": SQL_REL_REVENUE_PARETO,
+    "kg_alias_coverage": SQL_KG_ALIAS_COVERAGE,
     "rel_events_stickiness": SQL_REL_EVENTS_STICKINESS,
     "dedup_rate_by_lang": SQL_DEDUP_RATE_BY_LANG,
     "kg_degree_distribution": SQL_KG_DEGREE_DISTRIBUTION,
