@@ -2655,6 +2655,186 @@ SQL_DEDUP_RATE_BY_LANG = f"""
 """
 
 
+# -- bigram collocations -----------------------------------------------------------------------
+
+_COLLOC_K = 20
+
+
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-word collocations by corpus PMI among bigrams
+    seen >= 50 times (min-count floor keeps PMI off the rare-pair
+    cliff) — phrase discovery for tokenizer/vocab curation. Word and
+    bigram counts are two hash aggs; PMI = ln(c_xy * N / (c_x * c_y))
+    with N = total word count, rounded before the rank."""
+    docs = _load(spark, sf_dir, "documents")
+    words = F.split(F.lower("text"), " ")
+    grams = docs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(1))),
+                lambda i: F.struct(
+                    F.element_at(words, i).alias("w1"),
+                    F.element_at(words, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("g")
+    ).select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    unigrams = docs.select(
+        F.explode(words).alias("w")
+    ).groupBy("w").agg(F.count("*").alias("c"))
+    total = unigrams.agg(F.sum("c").cast("double").alias("n"))
+    big = (
+        grams.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= 50)
+    )
+    scored = (
+        big.join(
+            unigrams.select(F.col("w").alias("w1"), F.col("c").alias("c_x")),
+            "w1",
+        )
+        .join(
+            unigrams.select(F.col("w").alias("w2"), F.col("c").alias("c_y")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("long").alias("n_pairs"),
+            F.round(
+                F.log(F.col("c_xy") * F.col("n") / (F.col("c_x") * F.col("c_y"))),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(_COLLOC_K)
+
+
+SQL_TEXT_COLLOCATIONS = f"""
+    WITH w AS (
+        SELECT string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    grams AS (
+        SELECT ws[i] AS w1, ws[i + 1] AS w2
+        FROM (SELECT ws, unnest(generate_series(1, greatest(len(ws) - 1,
+                                                            1))) AS i
+              FROM w)
+    ),
+    uni AS (
+        SELECT w1 AS word, count(*) AS c
+        FROM (SELECT unnest(ws) AS w1 FROM w) GROUP BY 1
+    ),
+    n AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
+    big AS (
+        SELECT w1, w2, count(*) AS c_xy FROM grams GROUP BY w1, w2
+        HAVING count(*) >= 50
+    )
+    SELECT w1, w2, CAST(c_xy AS BIGINT) AS n_pairs,
+           ROUND(ln(c_xy * n.n / (u1.c * u2.c)), 4) AS pmi
+    FROM big
+    JOIN uni u1 ON u1.word = big.w1
+    JOIN uni u2 ON u2.word = big.w2
+    CROSS JOIN n
+    ORDER BY pmi DESC, w1 ASC, w2 ASC
+    LIMIT {_COLLOC_K}
+"""
+
+
+# -- hourly error rate -------------------------------------------------------------------------
+
+
+def q_rel_events_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error fraction over the event stream — the single SLO
+    curve an on-call dashboard draws. One aggregation, conditional
+    count inside it."""
+    return (
+        _load(spark, sf_dir, "events")
+        .groupBy(
+            (F.col("ts").cast("timestamp_ltz").cast("long") / 3600)
+            .cast("long")
+            .alias("hr")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum((F.col("event_type") == "error").cast("long"))
+            .cast("long")
+            .alias("n_errors"),
+            F.round(
+                F.sum((F.col("event_type") == "error").cast("long"))
+                / F.count("*"),
+                4,
+            ).alias("error_rate"),
+        )
+    )
+
+
+SQL_REL_EVENTS_ERROR_RATE = """
+    SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors,
+           ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS error_rate
+    FROM events GROUP BY 1
+"""
+
+
+# -- predicate cardinality profile ----------------------------------------------------------------
+
+
+def q_kg_pred_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality profile per predicate: average distinct objects per
+    subject and subjects per object — the 1:1 / 1:N / M:N evidence an
+    ontology review reads (and the data the functional-predicate
+    conflict audit assumes). Three stacked hash aggregations over the
+    canonical edges."""
+    _nodes, edges = _graph_tables(spark, sf_dir)
+    per_subj = edges.groupBy("pred", "subj_id").agg(
+        F.count_distinct("obj_id").alias("n_obj")
+    )
+    per_obj = edges.groupBy("pred", "obj_id").agg(
+        F.count_distinct("subj_id").alias("n_subj")
+    )
+    a = per_subj.groupBy("pred").agg(
+        F.count("*").cast("long").alias("n_subjects"),
+        F.round(F.avg("n_obj"), 4).alias("avg_objs_per_subj"),
+    )
+    b = per_obj.groupBy("pred").agg(
+        F.count("*").cast("long").alias("n_objects"),
+        F.round(F.avg("n_subj"), 4).alias("avg_subjs_per_obj"),
+    )
+    return a.join(b, "pred")
+
+
+SQL_KG_PRED_CARDINALITY = f"""
+    WITH ce AS MATERIALIZED ({SQL_KG_CANONICAL_EDGES}),
+    per_subj AS (
+        SELECT pred, subj_id, count(DISTINCT obj_id) AS n_obj
+        FROM ce GROUP BY pred, subj_id
+    ),
+    per_obj AS (
+        SELECT pred, obj_id, count(DISTINCT subj_id) AS n_subj
+        FROM ce GROUP BY pred, obj_id
+    ),
+    a AS (
+        SELECT pred, CAST(count(*) AS BIGINT) AS n_subjects,
+               ROUND(AVG(n_obj), 4) AS avg_objs_per_subj
+        FROM per_subj GROUP BY pred
+    ),
+    b AS (
+        SELECT pred, CAST(count(*) AS BIGINT) AS n_objects,
+               ROUND(AVG(n_subj), 4) AS avg_subjs_per_obj
+        FROM per_obj GROUP BY pred
+    )
+    SELECT a.pred, a.n_subjects, a.avg_objs_per_subj,
+           b.n_objects, b.avg_subjs_per_obj
+    FROM a JOIN b ON b.pred = a.pred
+"""
+
+
 # -- Zipf fit ------------------------------------------------------------------------------
 
 _ZIPF_K = 100
@@ -4809,6 +4989,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_supplier_hhi": q_rel_supplier_hhi,
     "text_source_profile": q_text_source_profile,
     "text_zipf_fit": q_text_zipf_fit,
+    "text_collocations": q_text_collocations,
+    "rel_events_error_rate": q_rel_events_error_rate,
+    "kg_pred_cardinality": q_kg_pred_cardinality,
     "rel_ship_latency": q_rel_ship_latency,
     "rel_trade_flows": q_rel_trade_flows,
     "rel_revenue_pareto": q_rel_revenue_pareto,
@@ -4909,6 +5092,9 @@ ORACLES: dict[str, str] = {
     "rel_supplier_hhi": SQL_REL_SUPPLIER_HHI,
     "text_source_profile": SQL_TEXT_SOURCE_PROFILE,
     "text_zipf_fit": SQL_TEXT_ZIPF_FIT,
+    "text_collocations": SQL_TEXT_COLLOCATIONS,
+    "rel_events_error_rate": SQL_REL_EVENTS_ERROR_RATE,
+    "kg_pred_cardinality": SQL_KG_PRED_CARDINALITY,
     "rel_ship_latency": SQL_REL_SHIP_LATENCY,
     "rel_trade_flows": SQL_REL_TRADE_FLOWS,
     "rel_revenue_pareto": SQL_REL_REVENUE_PARETO,
