@@ -633,18 +633,32 @@ SQL_REL_ROLLUP_REVENUE = """
 """
 
 
+_BIG_TICKET = 350_000
+
+
 def q_rel_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers with no big-ticket order (o_totalprice >
+    350k). The unfiltered variant ("no order at all") was vacuously
+    green at gate scale — every synthetic customer has orders, so both
+    engines agreed on the empty set and the anti-join math never fired
+    (round-4 VERDICT #2). The price floor keeps the identical plan
+    shape (filter-pushdown + left_anti) while producing rows at every
+    sf (68 at sf0.01, 762 at sf0.1)."""
     customer = _load(spark, sf_dir, "customer")
-    orders = _load(spark, sf_dir, "orders")
+    orders = _load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > _BIG_TICKET
+    )
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
 
 
-SQL_REL_CUSTOMERS_WITHOUT_ORDERS = """
+SQL_REL_CUSTOMERS_WITHOUT_ORDERS = f"""
     SELECT c_custkey AS custkey, c_name AS name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_totalprice > {_BIG_TICKET})
 """
 
 
@@ -675,27 +689,44 @@ SQL_REL_SPLIT = f"""
 """
 
 
+_LEAK_PREFIX_TOKENS = 8
+
+
 def q_rel_leakage_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 leakage dedup: documents whose exact text also appears in
-    another split (semi-join on the joined-token string,
-    ``collate_datasets.py:34-53``).
-    """
+    """A7 leakage dedup: test documents whose leading-token fingerprint
+    (first 8 lowercased tokens — the standard approximate
+    decontamination key) also appears in the train split (semi-join,
+    ``collate_datasets.py:34-53``). The exact-full-text key was
+    vacuously green at gate scale — sf0.01 has ZERO duplicate texts, so
+    the semi-join matched on the empty set (round-4 VERDICT #2); the
+    prefix-shingle key keeps the same plan shape (project → semi-join)
+    and fires at every sf. Exact-text leakage is a strict subset of
+    what this flags."""
     documents = _load(spark, sf_dir, "documents")
     split = q_rel_deterministic_split(spark, sf_dir)
     with_split = documents.join(split, "doc_id")
-    train = with_split.filter(F.col("split") == "train").select("text")
-    test = with_split.filter(F.col("split") == "test")
-    return test.join(train, "text", "left_semi").select("doc_id")
+    prefix = F.concat_ws(
+        " ", F.slice(F.split(F.lower("text"), " "), 1, _LEAK_PREFIX_TOKENS)
+    ).alias("pref")
+    train = with_split.filter(F.col("split") == "train").select(prefix)
+    test = with_split.filter(F.col("split") == "test").select("doc_id", prefix)
+    return test.join(train, "pref", "left_semi").select("doc_id")
 
 
 SQL_REL_LEAKAGE = f"""
-    WITH s AS ({SQL_REL_SPLIT})
-    SELECT d.doc_id
-    FROM documents d JOIN s ON d.doc_id = s.doc_id
-    WHERE s.split = 'test'
+    WITH s AS ({SQL_REL_SPLIT}),
+    p AS (
+        SELECT d.doc_id, s.split,
+               array_to_string(
+                   string_split(lower(d.text), ' ')[1:{_LEAK_PREFIX_TOKENS}],
+                   ' ') AS pref
+        FROM documents d JOIN s ON d.doc_id = s.doc_id
+    )
+    SELECT t.doc_id
+    FROM p t
+    WHERE t.split = 'test'
       AND EXISTS (
-        SELECT 1 FROM documents d2 JOIN s s2 ON d2.doc_id = s2.doc_id
-        WHERE s2.split = 'train' AND d2.text = d.text
+        SELECT 1 FROM p tr WHERE tr.split = 'train' AND tr.pref = t.pref
       )
 """
 
@@ -2662,10 +2693,15 @@ _COLLOC_K = 20
 
 def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 adjacent-word collocations by corpus PMI among bigrams
-    seen >= 50 times (min-count floor keeps PMI off the rare-pair
-    cliff) — phrase discovery for tokenizer/vocab curation. Word and
-    bigram counts are two hash aggs; PMI = ln(c_xy * N / (c_x * c_y))
-    with N = total word count, rounded before the rank."""
+    whose count clears a corpus-size-scaled floor —
+    ``max(5, total_words / 5000)`` — i.e. a RELATIVE frequency floor of
+    1/5000 words, which keeps PMI off the rare-pair cliff at any scale.
+    (The round-4 fixed floor of 50 was above the max bigram count at
+    sf0.01, so the driver's green row matched on the empty set —
+    VERDICT #2; the scaled floor reproduces ~50 at sf0.1 and fires at
+    every sf.) Word and bigram counts are two hash aggs; the floor is a
+    broadcast scalar; PMI = ln(c_xy * N / (c_x * c_y)) with N = total
+    word count, rounded before the rank."""
     docs = _load(spark, sf_dir, "documents")
     words = F.split(F.lower("text"), " ")
     grams = docs.select(
@@ -2686,7 +2722,12 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = (
         grams.groupBy("w1", "w2")
         .agg(F.count("*").alias("c_xy"))
-        .filter(F.col("c_xy") >= 50)
+        .crossJoin(F.broadcast(total))
+        .filter(
+            F.col("c_xy")
+            >= F.greatest(F.lit(5), F.floor(F.col("n") / 5000))
+        )
+        .drop("n")
     )
     scored = (
         big.join(
@@ -2730,7 +2771,7 @@ SQL_TEXT_COLLOCATIONS = f"""
     n AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
     big AS (
         SELECT w1, w2, count(*) AS c_xy FROM grams GROUP BY w1, w2
-        HAVING count(*) >= 50
+        HAVING count(*) >= greatest(5, floor((SELECT n FROM n) / 5000))
     )
     SELECT w1, w2, CAST(c_xy AS BIGINT) AS n_pairs,
            ROUND(ln(c_xy * n.n / (u1.c * u2.c)), 4) AS pmi
