@@ -357,7 +357,7 @@ def ivf_topk_cosine(
     queries: DataFrame,
     k: int = 5,
     n_centroids: int = 16,
-    nprobe: int = 4,
+    nprobe: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
@@ -368,9 +368,15 @@ def ivf_topk_cosine(
 
     Recall is MEASURED, not argued (``tools/recall_study.py`` at sf0.1,
     i.i.d.-random vectors — the hard case): 0.38 at nprobe 1/16 cells,
-    0.62 at 4/16 (gate config), 0.82 at 8/16, 0.66 at 4/32; recall
-    tracks the scanned corpus fraction (~nprobe/n_centroids) and more
-    cells buys recall at fixed cost. Table in BASELINE.md.
+    0.62 at 4/16, **0.82 at 8/16 (the default and gate config)**, 0.66
+    at 4/32; recall tracks the scanned corpus fraction
+    (~nprobe/n_centroids) and more cells buys recall at fixed cost.
+    Table in BASELINE.md. The default sits at the measured-good point
+    of that curve (round-4 VERDICT #3): a caller at defaults gets
+    recall >=0.8 on the hard i.i.d. case and >=0.99 on near-duplicate
+    queries, at ~nprobe/n_centroids = 50% corpus scanned; drop nprobe
+    for cheaper/lower-recall probes, raise n_centroids (with k-means
+    refinement) to cut the scanned fraction at fixed recall.
 
     Output matches ``cosine_topk``: (query_id, neighbor_id, cos).
     ``centroids``/``corpus_assignment`` inject precomputed tables (the

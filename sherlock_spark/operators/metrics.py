@@ -64,6 +64,49 @@ def span_prf(pred_ments: DataFrame, gold_ments: DataFrame) -> dict[str, float]:
     return {"precision": precision, "recall": recall, "f1": f1}
 
 
+def pair_overflow_stats(
+    annotated: DataFrame, max_mentions: int = 16
+) -> DataFrame:
+    """Counted pair overflow — the SURVEY §4 promise that the
+    ``max_mentions`` cap in ``enumerate_pairs`` (operators/rc.py) lands
+    in metrics rather than silently vanishing (or OOMing without the
+    cap). One aggregation row:
+
+    - ``n_turns`` / ``n_overflow_turns``: turns seen / turns whose
+      mention count exceeded the cap.
+    - ``n_mentions_dropped``: mentions beyond the cap, summed.
+    - ``n_pairs_dropped``: ordered pairs the cap suppressed, summed —
+      per overflowing turn with m mentions that is
+      ``m*(m-1) - cap*(cap-1)``.
+
+    Pure JVM aggregation over the SAME annotated input the pair
+    enumeration consumes, so the numbers reconcile exactly with the
+    emitted pair count: sum(m'*(m'-1)) over capped m' + n_pairs_dropped
+    == sum(m*(m-1)) uncapped.
+    """
+    m = F.size("ments").cast("long")
+    cap = F.lit(max_mentions).cast("long")
+    capped = F.least(m, cap)
+    over = m > cap
+    return annotated.agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.when(over, 1).otherwise(0)).cast("long").alias(
+            "n_overflow_turns"
+        ),
+        F.coalesce(
+            F.sum(F.when(over, m - cap).otherwise(F.lit(0))), F.lit(0)
+        ).cast("long").alias("n_mentions_dropped"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    over, m * (m - 1) - capped * (capped - 1)
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        ).cast("long").alias("n_pairs_dropped"),
+    )
+
+
 def truncation_stats(classified: DataFrame) -> DataFrame:
     """Share of instances fitting max_seq_length (binary_rc.py:341-355)
     — a metrics-table row, not a log line.

@@ -106,6 +106,20 @@ def run_kg_pipeline(
         repartition_by="conv_id",
     )
 
+    def build_pair_overflow() -> DataFrame:
+        # counted overflow, not silent truncation (SURVEY §4): the
+        # max_mentions cap in enumerate_pairs is accounted for in a
+        # metrics-table row the lineage output carries
+        from sherlock_spark.operators.metrics import pair_overflow_stats
+
+        salted = salt_by_conv(transcripts, chunk_turns)
+        annotated = annotate_mentions(spark, salted, lexicon)
+        return pair_overflow_stats(annotated, max_mentions)
+
+    pair_overflow = manager.run_stage(
+        "pair_overflow_metrics", build_pair_overflow
+    )
+
     alias_rows = aliases if aliases is not None else default_aliases(lexicon)
     alias_df = make_alias_df(spark, alias_rows)
 
@@ -146,6 +160,7 @@ def run_kg_pipeline(
         "canonical_map": canonical_map,
         "nodes": nodes,
         "edges": edges,
+        "pair_overflow_metrics": pair_overflow,
         "lineage": manager.all_lineage(),
     }
 

@@ -114,7 +114,14 @@ def test_full_dag_and_resume(spark, tmp_path):
 
     # lineage written per stage with per-partition counts
     stages = {record["stage"] for record in result["lineage"]}
-    assert stages == {"triples", "links", "canonical_map", "nodes", "edges"}
+    assert stages == {
+        "triples",
+        "links",
+        "canonical_map",
+        "nodes",
+        "edges",
+        "pair_overflow_metrics",
+    }
     triples_lineage = next(
         r for r in result["lineage"] if r["stage"] == "triples"
     )

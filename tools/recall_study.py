@@ -53,7 +53,8 @@ N_QUERIES = 64
 K = 10
 ANN_SETTINGS = [(16, 4), (16, 8), (32, 4)]  # (planes, bands)
 MINHASH_SETTINGS = [(32, 16), (32, 8), (64, 16)]  # (hashes, bands)
-IVF_SETTINGS = [(16, 1), (16, 4), (16, 8), (32, 4)]  # (n_centroids, nprobe)
+# (n_centroids, nprobe); (16, 8) is the library default and gate config
+IVF_SETTINGS = [(16, 1), (16, 4), (16, 8), (32, 4), (32, 8)]
 CLONE_STEP = 5
 CLONE_OFFSET = 100_000
 
