@@ -26,11 +26,27 @@ plan-stable and re-execution-free within a session:
 
 Keys include ``applicationId`` so a stopped/restarted session never
 serves broadcasts or checkpointed RDDs from a dead context.
+
+Cross-process warm resume (round-4 VERDICT #6): when
+``SHERLOCK_STAGE_DIR`` is set, ``stage`` additionally persists each
+stage table as content-keyed parquet under that directory and a fresh
+JVM resumes from it instead of re-materializing — the 11-15 s cold
+start of ``kg_canonical_edges`` drops to roughly its warm cost on the
+second process. The on-disk key is ``config_hash(key, code_digest)``
+where ``code_digest`` is a stat-based digest of every ``.py`` file in
+the package: ANY source edit changes the digest, so a persisted stage
+table can never outlive the code that built it (stale entries become
+unreachable and are TTL-swept). Unset (the default, and the posture of
+the correctness gate), behavior is exactly the session-local
+``localCheckpoint`` path.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
+import shutil
+import time
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -94,9 +110,94 @@ def stage(
     full_key = (app_id, key)
     df = _STAGE_CACHE.get(full_key)
     if df is None:
-        df = build().localCheckpoint(eager=True)
+        stage_dir = os.environ.get("SHERLOCK_STAGE_DIR")
+        if stage_dir:
+            df = _stage_persistent(spark, stage_dir, key, build)
+        else:
+            df = build().localCheckpoint(eager=True)
         _STAGE_CACHE[full_key] = df
     return df
+
+
+_CODE_DIGEST: str | None = None
+_SWEPT_DIRS: set[str] = set()
+
+
+def _code_digest() -> str:
+    """Stat-based digest (relpath, size, mtime_ns) of every .py file in
+    the package — the cache-key salt that makes persisted stage tables
+    code-versioned. Any source edit (even a re-save) changes it, which
+    errs on the safe side: a false rebuild costs one materialization, a
+    stale hit would cost correctness."""
+    global _CODE_DIGEST
+    if _CODE_DIGEST is None:
+        root = os.path.dirname(os.path.abspath(__file__))
+        hasher = hashlib.md5()
+        for dirpath, _dirs, files in sorted(os.walk(root)):
+            for name in sorted(files):
+                if not name.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, name)
+                stat = os.stat(full)
+                rel = os.path.relpath(full, root)
+                hasher.update(
+                    f"{rel}|{stat.st_size}|{stat.st_mtime_ns}\n".encode()
+                )
+        _CODE_DIGEST = hasher.hexdigest()
+    return _CODE_DIGEST
+
+
+def _sweep_stale(stage_dir: str) -> None:
+    """Once per process per dir: drop entries untouched for
+    ``SHERLOCK_STAGE_TTL_DAYS`` (default 7) — entries orphaned by code
+    edits are unreachable by key, this bounds the disk they hold."""
+    if stage_dir in _SWEPT_DIRS:
+        return
+    _SWEPT_DIRS.add(stage_dir)
+    ttl = float(os.environ.get("SHERLOCK_STAGE_TTL_DAYS", "7")) * 86400
+    cutoff = time.time() - ttl
+    try:
+        entries = os.listdir(stage_dir)
+    except FileNotFoundError:
+        return
+    for name in entries:
+        full = os.path.join(stage_dir, name)
+        try:
+            if os.path.getmtime(full) < cutoff:
+                shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            continue
+
+
+def _stage_persistent(
+    spark: SparkSession, stage_dir: str, key: tuple, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """Disk-backed stage materialization: parquet at
+    ``<stage_dir>/<config_hash(key, code_digest)>``. The parquet read
+    IS the lineage cut (no localCheckpoint needed), and unlike
+    checkpointed RDDs it survives the JVM. Writes go to a tmp dir and
+    ``os.rename`` into place so concurrent processes race atomically —
+    the loser reads the winner's table. Falls back to the session-local
+    path for the rare stage whose schema parquet can't hold."""
+    _sweep_stale(stage_dir)
+    path = os.path.join(stage_dir, config_hash(key, _code_digest()))
+    success = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(success):
+        if os.path.exists(path):
+            # a crashed writer left a partial table; rebuild it
+            shutil.rmtree(path, ignore_errors=True)
+        tmp = f"{path}.tmp-{spark.sparkContext.applicationId}"
+        try:
+            build().write.mode("overwrite").parquet(tmp)
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            return build().localCheckpoint(eager=True)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # lost the race to a concurrent writer; use its table
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
 
 
 def clear_session_caches() -> None:

@@ -92,6 +92,39 @@ def test_pipeline_metrics_stage_carries_pair_overflow(spark, tmp_path):
     assert "pair_overflow_metrics" in stages
 
 
+def test_stage_persists_across_sessions(spark, tmp_path, monkeypatch):
+    """SHERLOCK_STAGE_DIR: a second 'process' (simulated by clearing the
+    in-memory registry) must serve the staged table from parquet without
+    re-running build; a code-digest change must force a rebuild."""
+    from sherlock_spark import udfcache
+    from sherlock_spark.udfcache import _STAGE_CACHE, stage
+
+    monkeypatch.setenv("SHERLOCK_STAGE_DIR", str(tmp_path / "stagecache"))
+    builds = []
+
+    def build():
+        builds.append(1)
+        return spark.range(5).select(F.col("id").alias("n"))
+
+    key = ("round5-test-stage", "x")
+    first = stage(spark, key, build)
+    assert first.count() == 5 and len(builds) == 1
+    # same process, in-memory hit: no rebuild, no re-read
+    stage(spark, key, build)
+    assert len(builds) == 1
+    # fresh process simulation: in-memory registry gone, parquet serves
+    _STAGE_CACHE.clear()
+    again = stage(spark, key, build)
+    assert again.count() == 5
+    assert len(builds) == 1  # NOT rebuilt
+    # a code edit changes the digest -> the old entry is unreachable
+    _STAGE_CACHE.clear()
+    monkeypatch.setattr(udfcache, "_CODE_DIGEST", "different-code")
+    rebuilt = stage(spark, key, build)
+    assert rebuilt.count() == 5
+    assert len(builds) == 2  # rebuilt under the new digest
+
+
 def _write_docs(spark, rows, input_dir, mode):
     spark.createDataFrame(
         rows, "doc_id long, ts timestamp, text string, lang string, source string"
