@@ -1,0 +1,185 @@
+"""Deterministic scale-up of the driver's testdata (round-4 VERDICT #7).
+
+The driver generates /root/testdata/sf{0.001,0.01,0.1} (read-only; its
+generator is not in this repo). This tool produces a LARGER scale from
+an existing one by key-shifted replication — sf1 = 10 deterministic
+replicas of sf0.1 — preserving every semantic property the 100-query
+registry relies on (schemas byte-for-byte, referential integrity,
+value distributions, event/session structure) so the full correctness
+gate can run at sf1 and catch scale-dependent determinism bugs (float
+summation order, hash partitioning, window ties) before a real cluster
+does.
+
+Replication scheme (replica r in 0..factor-1; r=0 is the original):
+- region/nation: copied once (fixed-size dimensions, as in TPC-H).
+- customer/supplier/part/orders/lineitem/events: every key column
+  (primary AND foreign) shifts by r * (max(key)+1 in the source), so
+  each replica is a self-consistent universe and joins never cross
+  replicas; non-key columns are copied verbatim (aggregates scale
+  exactly by the factor — a useful invariant for eyeballing results).
+- documents: doc_id shifts; replica texts get a deterministic
+  ``r<r> `` prefix (n_chars recomputed) so replication does not
+  manufacture 10-way exact-duplicate clusters that would rescale the
+  dedup families' pair counts quadratically.
+- embeddings: vec_id shifts; replica vectors get a small deterministic
+  per-component perturbation (seeded numpy, float32 like the source)
+  so replicas are near- but not exact-duplicates in cosine space.
+
+Everything is pure DuckDB SQL + seeded numpy — same input, same
+output, no RNG state leakage. Output goes OUTSIDE the read-only
+testdata tree (default /tmp/sherlock_testdata/sf1).
+
+Usage::
+
+    python tools/gen_testdata.py [--src /root/testdata/sf0.1]
+                                 [--out /tmp/sherlock_testdata/sf1]
+                                 [--factor 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# (table, [key columns to shift, each by its own source max+1])
+SHIFTED = [
+    ("customer", ["c_custkey"]),
+    ("supplier", ["s_suppkey"]),
+    ("part", ["p_partkey"]),
+    ("orders", ["o_orderkey", "o_custkey"]),
+    ("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]),
+    ("events", ["event_id", "user_id"]),
+]
+
+# key column -> the table whose primary key defines its shift stride
+STRIDE_OF = {
+    "c_custkey": ("customer", "c_custkey"),
+    "s_suppkey": ("supplier", "s_suppkey"),
+    "p_partkey": ("part", "p_partkey"),
+    "o_orderkey": ("orders", "o_orderkey"),
+    "o_custkey": ("customer", "c_custkey"),
+    "l_orderkey": ("orders", "o_orderkey"),
+    "l_partkey": ("part", "p_partkey"),
+    "l_suppkey": ("supplier", "s_suppkey"),
+    "event_id": ("events", "event_id"),
+    "user_id": ("events", "user_id"),
+    "doc_id": ("documents", "doc_id"),
+    "vec_id": ("embeddings", "vec_id"),
+}
+
+
+def generate(src: str, out: str, factor: int) -> None:
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {min(16, os.cpu_count() or 4)}")
+
+    def src_path(table: str) -> str:
+        return f"{src}/{table}.parquet"
+
+    strides = {
+        col: con.sql(
+            f"SELECT max({key}) + 1 FROM '{src_path(table)}'"
+        ).fetchone()[0]
+        for col, (table, key) in STRIDE_OF.items()
+    }
+
+    for table in ["region", "nation"]:
+        con.sql(
+            f"COPY (SELECT * FROM '{src_path(table)}') TO "
+            f"'{out}/{table}.parquet' (FORMAT PARQUET)"
+        )
+        print(f"{table}: copied")
+
+    replicas = f"(SELECT unnest(generate_series(0, {factor - 1})) AS r)"
+
+    for table, keys in SHIFTED:
+        cols = [
+            row[0]
+            for row in con.sql(
+                f"DESCRIBE SELECT * FROM '{src_path(table)}'"
+            ).fetchall()
+        ]
+        select = ", ".join(
+            f"CAST(t.{col} + r.r * {strides[col]} AS BIGINT) AS {col}"
+            if col in keys
+            else f"t.{col}"
+            for col in cols
+        )
+        con.sql(
+            f"COPY (SELECT {select} FROM '{src_path(table)}' t, "
+            f"{replicas} r ORDER BY r.r, t.{keys[0]}) TO "
+            f"'{out}/{table}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.sql(f"SELECT count(*) FROM '{out}/{table}.parquet'").fetchone()[0]
+        print(f"{table}: {n} rows")
+
+    # documents: prefix replica texts so replication does not create
+    # factor-way exact-dup clusters; n_chars stays == len(text)
+    doc_stride = strides["doc_id"]
+    con.sql(
+        f"""COPY (
+            SELECT CAST(t.doc_id + r.r * {doc_stride} AS BIGINT) AS doc_id,
+                   CASE WHEN r.r = 0 THEN t.text
+                        ELSE 'r' || r.r || ' ' || t.text END AS text,
+                   t.lang, t.source,
+                   CAST(len(CASE WHEN r.r = 0 THEN t.text
+                        ELSE 'r' || r.r || ' ' || t.text END) AS BIGINT)
+                       AS n_chars
+            FROM '{src_path("documents")}' t, {replicas} r
+            ORDER BY r.r, t.doc_id
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    print(
+        "documents:",
+        con.sql(f"SELECT count(*) FROM '{out}/documents.parquet'").fetchone()[0],
+        "rows",
+    )
+
+    # embeddings: numpy-side so replicas get a real angular perturbation
+    # (a pure scale would leave cosine == 1 and quadratically inflate
+    # the near-dup families); float32 like the source
+    src_emb = pq.read_table(src_path("embeddings"))
+    vec_ids = src_emb.column("vec_id").to_numpy()
+    labels = src_emb.column("label").to_numpy()
+    base = np.asarray(
+        [np.asarray(v, dtype=np.float32) for v in src_emb.column("embedding").to_pylist()]
+    )
+    stride = strides["vec_id"]
+    rng = np.random.default_rng(42)
+    parts = []
+    for r in range(factor):
+        vecs = base if r == 0 else base + rng.normal(
+            0, 0.05 * np.abs(base).mean(), base.shape
+        ).astype(np.float32)
+        parts.append(
+            pa.table(
+                {
+                    "vec_id": pa.array(vec_ids + r * stride, pa.int64()),
+                    "embedding": pa.array(
+                        [row for row in vecs.astype(np.float32)],
+                        pa.list_(pa.float32()),
+                    ),
+                    "label": pa.array(labels, pa.int32()),
+                }
+            )
+        )
+    pq.write_table(pa.concat_tables(parts), f"{out}/embeddings.parquet")
+    print("embeddings:", sum(len(p) for p in parts), "rows")
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--src", default="/root/testdata/sf0.1")
+    parser.add_argument("--out", default="/tmp/sherlock_testdata/sf1")
+    parser.add_argument("--factor", type=int, default=10)
+    args = parser.parse_args()
+    generate(args.src, args.out, args.factor)
+
+
+if __name__ == "__main__":
+    main()

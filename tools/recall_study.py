@@ -133,6 +133,42 @@ def main() -> None:
             }
         )
 
+    # -- 1c. IVF with Lloyd-refined centroids (the production
+    # quantizer; the deterministic one above is the SQL-replayable gate
+    # config) at the library default (16 cells, nprobe 8) ---------------
+    from sherlock_spark.functions.similarity import ivf_centroids_kmeans
+
+    km_cents = ivf_centroids_kmeans(emb, 16, iterations=5)
+    approx = {query: set() for query in exact}
+    for row in ivf_topk_cosine(
+        emb, queries, k=K, n_centroids=16, nprobe=8, centroids=km_cents
+    ).collect():
+        approx[row["query_id"]].add(row["neighbor_id"])
+    recall = sum(
+        len(exact[q] & approx[q]) / max(len(exact[q]), 1) for q in exact
+    ) / len(exact)
+    n_cand = (
+        ivf_assign(queries, km_cents, 8)
+        .select(F.col("vid").alias("query_id"), "centroid_id")
+        .join(
+            ivf_assign(emb, km_cents, 1).select(
+                F.col("vid").alias("neighbor_id"), "centroid_id"
+            ),
+            "centroid_id",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .count()
+    )
+    results.append(
+        {
+            "study": "ivf_topk_random_kmeans",
+            "centroids": 16,
+            "nprobe": 8,
+            "recall": round(recall, 4),
+            "candidate_pairs": n_cand,
+        }
+    )
+
     # -- 2. planted-clone dedup recall ----------------------------------
     base = emb.select(
         F.col("vec_id").cast("long").alias("vec_id"),
