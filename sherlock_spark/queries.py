@@ -2212,42 +2212,47 @@ SQL_KG_TRIANGLES = f"""
 # -- near-dup cluster assignment -----------------------------------------
 
 
+def _exact_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged THEOREM-EXACT near-dup pair table (PPJoin prefix
+    filter, recall 1.0 by construction) every cluster-level dedup
+    analytic builds on. Round-5 lesson: these analytics originally
+    inherited the MinHash pair set, whose equality to the exact pairs
+    is a measured property of the corpus + band config — true at the
+    gate scales, but the sf1 robustness run found 90 correlated misses
+    (the affine-permutation bug, see ``minhash_signatures``) and every
+    downstream closure/k-core/slice row moved with them. Analytics
+    about the dup GRAPH must consume a pair set that is exact at every
+    scale; the banding gate (`dedup_minhash_lsh`) keeps measuring the
+    probabilistic path separately."""
+    from sherlock_spark.functions.dedup import ngram_jaccard_prefix_pairs
+
+    return stage(
+        spark,
+        ("exact_dup_pairs", sf_dir, 3, 0.8),
+        lambda: ngram_jaccard_prefix_pairs(
+            _load(spark, sf_dir, "documents"), n=3, threshold=0.8
+        ),
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the verified near-dup pairs into keep-list
     clusters (connected components — the same operator that
-    canonicalizes KG entities). Reuses the staged MinHash corpus tables,
-    so only CC + the corpus join-back run here."""
-    from sherlock_spark.functions.dedup import (
-        dedup_clusters,
-        minhash_band_buckets,
-        word_shingles,
-    )
+    canonicalizes KG entities). Pairs come from the staged
+    prefix-filtered EXACT operator (recall 1.0 by theorem), so the
+    closure equals the exact-pair oracle at every scale; only CC + the
+    corpus join-back run here."""
+    from sherlock_spark.functions.dedup import dedup_clusters
 
     documents = _load(spark, sf_dir, "documents")
-    buckets = stage(
-        spark,
-        ("minhash_buckets", sf_dir, 32, 16, 3),
-        lambda: minhash_band_buckets(documents, 32, 16, 3),
-    )
-    shingles = stage(
-        spark,
-        ("minhash_shingles", sf_dir, 3),
-        lambda: word_shingles(documents, 3),
-    )
-    pairs = minhash_dedup_pairs(
-        documents,
-        threshold=0.8,
-        n_hashes=32,
-        bands=16,
-        band_buckets=buckets,
-        shingles=shingles,
-    )
-    return dedup_clusters(documents, pairs)
+    return dedup_clusters(documents, _exact_dup_pairs(spark, sf_dir))
 
 
-# pair graph replayed from the exact n-gram oracle (== the MinHash
-# output on this corpus, per SQL_DEDUP_MINHASH's measured-recall note);
-# the closure itself is a recursive CTE computing min reachable doc_id.
+# pair graph replayed from the exact n-gram oracle — like-for-like
+# with the Spark side since round 5 (both are the EXACT pair set; the
+# Spark side arrives at it via the prefix-filter theorem, the oracle
+# via shared-shingle blocking); the closure itself is a recursive CTE
+# computing min reachable doc_id.
 SQL_DEDUP_CLUSTERS = f"""
     WITH RECURSIVE pairs AS ({SQL_DEDUP_NGRAM}),
     e(src, dst) AS (
@@ -3692,11 +3697,12 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Where does duplication come from: verified near-dup pairs
     grouped by the (source, source) combination of their endpoints —
     within-source boilerplate vs cross-source mirrors read completely
-    differently in a crawl. Pairs reuse the staged MinHash tables; two
+    differently in a crawl. Pairs are the staged theorem-exact set
+    (``_exact_dup_pairs`` — scale-stable, unlike banding); two
     broadcast-sized joins attach the sources (source pair ordered
     lexicographically so (a,b) and (b,a) aggregate together)."""
     documents = _load(spark, sf_dir, "documents")
-    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    pairs = _exact_dup_pairs(spark, sf_dir)
     src = documents.select("doc_id", "source")
     joined = (
         pairs.join(
@@ -4493,36 +4499,15 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     one plan — three corpus scans that Catalyst collapses onto the same
     cached source, two broadcast-or-shuffle joins on doc_id. The
     quality threshold compares the 4-decimal ROUNDED score, so the
-    cross-engine float compare is exact."""
-    from sherlock_spark.functions.dedup import (
-        dedup_clusters,
-        minhash_band_buckets,
-        word_shingles,
-    )
+    cross-engine float compare is exact. Clusters ride on the staged
+    theorem-exact pair set (``_exact_dup_pairs``)."""
+    from sherlock_spark.functions.dedup import dedup_clusters
     from sherlock_spark.functions.textstats import language_id
 
     documents = _load(spark, sf_dir, "documents")
     lang = language_id(documents).select("doc_id", "pred_lang")
     qual = quality_score(with_text_stats(documents)).select("doc_id", "quality")
-    buckets = stage(
-        spark,
-        ("minhash_buckets", sf_dir, 32, 16, 3),
-        lambda: minhash_band_buckets(documents, 32, 16, 3),
-    )
-    shingles = stage(
-        spark,
-        ("minhash_shingles", sf_dir, 3),
-        lambda: word_shingles(documents, 3),
-    )
-    pairs = minhash_dedup_pairs(
-        documents,
-        threshold=0.8,
-        n_hashes=32,
-        bands=16,
-        band_buckets=buckets,
-        shingles=shingles,
-    )
-    clusters = dedup_clusters(documents, pairs)
+    clusters = dedup_clusters(documents, _exact_dup_pairs(spark, sf_dir))
     return (
         documents.select("doc_id")
         .join(lang, "doc_id")
@@ -4561,32 +4546,10 @@ def q_dedup_core_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core (k=2) of the verified near-dup pair graph: documents in
     densely-duplicated families (template farms, boilerplate cliques)
     survive the peel; isolated dup PAIRS — the long tail — peel away.
-    Reuses the staged MinHash corpus tables like ``dedup_clusters``."""
-    from sherlock_spark.functions.dedup import (
-        minhash_band_buckets,
-        word_shingles,
-    )
+    Rides the staged theorem-exact pair set like ``dedup_clusters``."""
     from sherlock_spark.functions.graph import kcore
 
-    documents = _load(spark, sf_dir, "documents")
-    buckets = stage(
-        spark,
-        ("minhash_buckets", sf_dir, 32, 16, 3),
-        lambda: minhash_band_buckets(documents, 32, 16, 3),
-    )
-    shingles = stage(
-        spark,
-        ("minhash_shingles", sf_dir, 3),
-        lambda: word_shingles(documents, 3),
-    )
-    pairs = minhash_dedup_pairs(
-        documents,
-        threshold=0.8,
-        n_hashes=32,
-        bands=16,
-        band_buckets=buckets,
-        shingles=shingles,
-    )
+    pairs = _exact_dup_pairs(spark, sf_dir)
     return kcore(
         pairs.select(
             F.col("doc_a").alias("subj_id"), F.col("doc_b").alias("obj_id")

@@ -17,13 +17,18 @@ Replication scheme (replica r in 0..factor-1; r=0 is the original):
   each replica is a self-consistent universe and joins never cross
   replicas; non-key columns are copied verbatim (aggregates scale
   exactly by the factor — a useful invariant for eyeballing results).
-- documents: doc_id shifts; replica texts get a deterministic
-  ``r<r> `` prefix (n_chars recomputed) so replication does not
-  manufacture 10-way exact-duplicate clusters that would rescale the
-  dedup families' pair counts quadratically.
-- embeddings: vec_id shifts; replica vectors get a small deterministic
-  per-component perturbation (seeded numpy, float32 like the source)
-  so replicas are near- but not exact-duplicates in cosine space.
+- documents: doc_id shifts; replica texts get a deterministic per-WORD
+  ``_r<r>`` suffix (n_chars recomputed). Every shingle/token is
+  bijectively renamed per replica, so cross-replica Jaccard is exactly
+  0 and the dup-pair graph is 10 independent copies of the source's —
+  replication must not manufacture a dense 10-way near-dup cluster per
+  document, which would both rescale the dedup families quadratically
+  (the exact-pair oracles DNF) and change what the gate is testing.
+- embeddings: vec_id shifts; replica vectors get a deterministic
+  angular perturbation sized to push cross-replica cosine to ~0.95,
+  below the 0.99 dedup threshold (seeded numpy, float32 like the
+  source) — same rationale: replicas must not be near-duplicates of
+  their source, or pair counts stop scaling linearly.
 
 Everything is pure DuckDB SQL + seeded numpy — same input, same
 output, no RNG state leakage. Output goes OUTSIDE the read-only
@@ -118,18 +123,21 @@ def generate(src: str, out: str, factor: int) -> None:
         n = con.sql(f"SELECT count(*) FROM '{out}/{table}.parquet'").fetchone()[0]
         print(f"{table}: {n} rows")
 
-    # documents: prefix replica texts so replication does not create
-    # factor-way exact-dup clusters; n_chars stays == len(text)
+    # documents: per-word replica suffix — bijective token rename, so
+    # each replica's dup structure is an exact copy of the source's and
+    # cross-replica similarity is 0; n_chars stays == len(text)
     doc_stride = strides["doc_id"]
+    mutated = (
+        "array_to_string(list_transform(string_split(t.text, ' '), "
+        "w -> w || '_r' || r.r), ' ')"
+    )
     con.sql(
         f"""COPY (
             SELECT CAST(t.doc_id + r.r * {doc_stride} AS BIGINT) AS doc_id,
-                   CASE WHEN r.r = 0 THEN t.text
-                        ELSE 'r' || r.r || ' ' || t.text END AS text,
+                   CASE WHEN r.r = 0 THEN t.text ELSE {mutated} END AS text,
                    t.lang, t.source,
                    CAST(len(CASE WHEN r.r = 0 THEN t.text
-                        ELSE 'r' || r.r || ' ' || t.text END) AS BIGINT)
-                       AS n_chars
+                        ELSE {mutated} END) AS BIGINT) AS n_chars
             FROM '{src_path("documents")}' t, {replicas} r
             ORDER BY r.r, t.doc_id
         ) TO '{out}/documents.parquet' (FORMAT PARQUET)"""
@@ -151,10 +159,13 @@ def generate(src: str, out: str, factor: int) -> None:
     )
     stride = strides["vec_id"]
     rng = np.random.default_rng(42)
+    # per-component noise sized for cross-replica cosine ~ 0.95:
+    # cos ~ 1/sqrt(1 + sigma^2*d/|v|^2); sigma = 0.33 * rms(component)
+    sigma = 0.33 * float(np.sqrt((base.astype(np.float64) ** 2).mean()))
     parts = []
     for r in range(factor):
         vecs = base if r == 0 else base + rng.normal(
-            0, 0.05 * np.abs(base).mean(), base.shape
+            0, sigma, base.shape
         ).astype(np.float32)
         parts.append(
             pa.table(
