@@ -117,19 +117,34 @@ def run():
 # in the parent
 run().count()
 run().count()
+def steal_ticks():
+    # hypervisor CPU steal (col 8 of /proc/stat): the co-tenant-VM
+    # signal this guest's loadavg cannot see
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        return 0
+
 best = None
 best_pre_load = None
+best_steal = None
 count = 0
 pre_loads = []
+steals = []
 for _ in range(reps):
     pre = os.getloadavg()[0]
     pre_loads.append(round(pre, 1))
+    s0 = steal_ticks()
     t0 = time.time()
     count = run().count()
     dt = time.time() - t0
+    stl = round((steal_ticks() - s0) / dt, 1) if dt > 0 else 0.0
+    steals.append(stl)
     if best is None or dt < best:
         best = dt
         best_pre_load = round(pre, 1)
+        best_steal = stl
 print(json.dumps({
     "master": master, "cores": cores, "seconds": round(best, 3),
     "triples": count, "turns": turns,
@@ -137,6 +152,11 @@ print(json.dumps({
     "turns_per_sec": round(turns / best, 1),
     "pre_load_best_rep": best_pre_load,
     "pre_loads": pre_loads,
+    # % of ONE core stolen by the hypervisor during each rep / the
+    # best rep — near 0 in clean epochs, hundreds when a co-tenant VM
+    # holds the physical cores (walls then measure the host, not the job)
+    "steal_pct_best_rep": best_steal,
+    "steal_pcts": steals,
 }))
 spark.stop()
 shutil.rmtree(input_dir, ignore_errors=True)
@@ -348,10 +368,10 @@ ceiling ANY job can show here right now:
         lines.append(f"""
 {titles[mode]}
 
-| config | wall (s) | triples | triples/sec | turns/sec | pre-run load_1m (best rep) |
-|---|---|---|---|---|---|
-| {small['master']} = {small['cores']} cores (N) | {small['seconds']} | {small['triples']} | {small['triples_per_sec']} | {small['turns_per_sec']} | {small['pre_load_best_rep']} |
-| {large['master']} = {large['cores']} cores (4N) | {large['seconds']} | {large['triples']} | {large['triples_per_sec']} | {large['turns_per_sec']} | {large['pre_load_best_rep']} |
+| config | wall (s) | triples | triples/sec | turns/sec | pre-run load_1m (best rep) | steal % (best rep) |
+|---|---|---|---|---|---|---|
+| {small['master']} = {small['cores']} cores (N) | {small['seconds']} | {small['triples']} | {small['triples_per_sec']} | {small['turns_per_sec']} | {small['pre_load_best_rep']} | {small.get('steal_pct_best_rep', 'n/a')} |
+| {large['master']} = {large['cores']} cores (4N) | {large['seconds']} | {large['triples']} | {large['triples_per_sec']} | {large['turns_per_sec']} | {large['pre_load_best_rep']} | {large.get('steal_pct_best_rep', 'n/a')} |
 
 - speedup (N -> 4N): **{result['speedup']}x** on a {result['cores_ratio']:.0f}x core ratio
 - **scaling efficiency: {result['scaling_efficiency']}** (target >= 0.8)
