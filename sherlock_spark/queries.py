@@ -2506,10 +2506,19 @@ def q_rel_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     hops (supplier, customer, nation twice under different aliases),
     aggregated to the nation-pair grain. The flow matrix is the
     dims-squared-sized output a trade dashboard reads."""
+    # revenue terms are summed as DECIMAL, not double: decimal addition
+    # is associative, so the nation-pair sums are identical under ANY
+    # partitioning/combine order. The sf1 robustness gate caught the
+    # double version differing from the oracle by one ulp crossing a
+    # ROUND(,2) boundary once pair sums reached ~1e9 (order-dependent
+    # float summation — invisible at sf0.1).
     li = _load(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_suppkey",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        (
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+        ).alias("rev"),
     )
     orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     supp = _load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -2536,14 +2545,16 @@ def q_rel_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return flows.groupBy("supp_nation", "cust_nation").agg(
         F.count("*").cast("long").alias("n_lines"),
-        F.round(F.sum("rev"), 2).alias("revenue"),
+        F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
     )
 
 
 SQL_REL_TRADE_FLOWS = """
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            CAST(count(*) AS BIGINT) AS n_lines,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l_discount AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders ON o_orderkey = l_orderkey
     JOIN supplier ON s_suppkey = l_suppkey
