@@ -13,9 +13,11 @@ Scale shape:
   but quadratic in the worst case — the production path for near-dup at
   100 TB is MinHash-LSH below, which replaces the blocking join with a
   band-bucket join of fixed fanout;
-- MinHash: k permutations via affine transforms of a base hash (xxhash64
-  JVM-side), bands of r rows hashed to buckets, candidates = pairs
-  sharing a band bucket;
+- MinHash: k INDEPENDENT seeded hashes h_i(s) = xxhash64(s, i)
+  (JVM-side, evaluated row-locally over each document's shingle array —
+  no explode/groupBy; the affine-permutation family was removed in
+  round 5 for correlated misses), bands of r rows hashed to buckets,
+  candidates = pairs sharing a band bucket;
 - SimHash: 64-bit sign-aggregated word hashes; near-dups share most
   bits, candidates via b-bit band equality.
 """
@@ -45,16 +47,37 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
 # -- word n-gram shingles + exact Jaccard --------------------------------
 
 
+def word_shingle_array(text_col=None, n: int = 3):
+    """Column: the distinct word n-gram (shingle) array of ``text_col``.
+    A document shorter than ``n`` words contributes its whole text as
+    one (truncated) shingle."""
+    words = F.split(text_col if text_col is not None else F.col("text"), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+
+
 def word_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams per document."""
-    words = F.split("text", " ")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-    )
     return documents.select(
-        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+        "doc_id", F.explode(word_shingle_array(F.col("text"), n)).alias("shingle")
     )
+
+
+def word_shingle_sets(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingles array<string>, n_shingles) — each document's
+    distinct shingle SET as one array row. The set form keeps
+    per-document shingles together, so downstream exact-Jaccard
+    verification is one row-local ``array_intersect`` per candidate
+    pair instead of an exploded (doc, shingle) join + count aggregate
+    (guide §2.3: shuffle candidate-pair rows, not candidate x shingle
+    rows)."""
+    return documents.select(
+        "doc_id", word_shingle_array(F.col("text"), n).alias("shingles")
+    ).withColumn("n_shingles", F.size("shingles"))
 
 
 def ngram_jaccard_pairs(
@@ -170,15 +193,29 @@ def minhash_signatures(documents: DataFrame, n_hashes: int = 32, shingle_n: int 
     instead of 1 + affine arithmetic — negligible next to the
     candidate join it feeds.
     """
-    shingles = word_shingles(documents, shingle_n)
-    mins = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"m{i}")
-        for i in range(n_hashes)
-    ]
-    aggregated = shingles.groupBy("doc_id").agg(*mins)
-    return aggregated.select(
+    # Row-local evaluation: the signature is a pure function of one
+    # document's shingle set, so it is computed as ``n_hashes``
+    # array_min(transform(...)) expressions over the per-row shingle
+    # array — no shingle explode, no groupBy, no exchange. (The
+    # previous shape exploded to a (doc_id, shingle) table and ran 32
+    # min-aggregates through a hash-aggregate exchange; same values,
+    # one avoidable shuffle + agg machinery more.) The shingle array is
+    # referenced 32 times but built once per row: CollapseProject does
+    # not inline non-cheap expressions with multiple consumers, so the
+    # two-Project shape below evaluates it once.
+    with_shingles = documents.select(
+        "doc_id", word_shingle_array(F.col("text"), shingle_n).alias("shingles")
+    )
+    return with_shingles.select(
         "doc_id",
-        F.array(*[F.col(f"m{i}") for i in range(n_hashes)]).alias("signature"),
+        F.array(
+            *[
+                F.array_min(
+                    F.transform("shingles", lambda s: F.xxhash64(s, F.lit(i)))
+                )
+                for i in range(n_hashes)
+            ]
+        ).alias("signature"),
     )
 
 
@@ -189,11 +226,22 @@ def minhash_band_buckets(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(doc_id, band, bucket): the corpus's LSH band-bucket table —
-    signatures split into ``bands`` md5-compressed buckets. This is the
-    expensive, corpus-only part of the dedup (shingle explode + 32
-    min-hash aggregates); it depends on nothing but the corpus, so
-    callers running repeated/incremental dedup materialize it once
-    (stage registry / checkpoint table) and re-join against it.
+    signatures split into ``bands`` buckets. This is the expensive,
+    corpus-only part of the dedup (row-local 32-hash signatures); it
+    depends on nothing but the corpus, so callers running
+    repeated/incremental dedup materialize it once (stage registry /
+    checkpoint table) and re-join against it.
+
+    Bucket ids are ``xxhash64`` over the band's signature slice — one
+    LONG instead of the previous md5 hex string (round-6: narrower
+    join keys and a smaller staged table; candidate self-join measured
+    1.15 s vs 1.73 s at sf1 with an identical candidate set). The
+    bucket id is an arbitrary deterministic function of the slice:
+    equal slices always collide (recall preserved by construction), and
+    a cross-slice hash collision can only ADD candidate pairs, which
+    the exact-Jaccard verify then filters — with the caveat that under
+    ``max_bucket_size`` capping a collision-merged bucket could exceed
+    the cap where the true buckets would not (measure-zero at 64-bit).
     """
     rows_per_band = n_hashes // bands
     signatures = minhash_signatures(documents, n_hashes, shingle_n)
@@ -202,14 +250,11 @@ def minhash_band_buckets(
         F.posexplode(
             F.array(
                 *[
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("signature")[band * rows_per_band + row]
-                                for row in range(rows_per_band)
-                            ],
-                        )
+                    F.xxhash64(
+                        *[
+                            F.col("signature")[band * rows_per_band + row]
+                            for row in range(rows_per_band)
+                        ]
                     )
                     for band in range(bands)
                 ]
@@ -261,47 +306,49 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
     max_bucket_size: int | None = None,
     band_buckets: DataFrame | None = None,
-    shingles: DataFrame | None = None,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard — the scale path for
     near-dup detection (candidate fanout bounded by band buckets, not by
     shared-shingle frequency; hot buckets additionally bounded by
-    ``max_bucket_size``). ``band_buckets``/``shingles`` inject
+    ``max_bucket_size``). ``band_buckets``/``shingle_sets`` inject
     precomputed corpus-only tables (incremental/repeated dedup reuses
     both; only the candidate join + verify re-run).
+
+    Verification is SET-shaped (round-6): each candidate pair attaches
+    the two documents' shingle arrays (``word_shingle_sets``) with two
+    joins keyed on doc id, and the exact intersection size is one
+    row-local ``array_intersect`` — the joins move O(candidate-pair)
+    rows. The previous exploded shape joined candidates against a
+    (doc_id, shingle) table twice and counted matches, flowing
+    O(candidate-pairs x shingles-per-doc) rows (~30M at sf1 vs ~250k
+    pairs) through the probe + aggregate. Values are identical: the
+    arrays are distinct sets, so |array_intersect| equals the exploded
+    match count.
     """
     candidates = minhash_lsh_candidates(
         documents, n_hashes, bands, shingle_n, max_bucket_size, band_buckets
     )
-    if shingles is None:
-        shingles = word_shingles(documents, shingle_n).cache()
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    # exact intersection sizes, but only over LSH candidate pairs. The
-    # per-pair shingle match is an explicit equi-join key (doc_b AND
-    # shingle) so the planner hashes on it — expressed as a post-join
-    # filter it would rely on Catalyst lifting the predicate into the
-    # join and could degrade to a per-doc_b cross match.
-    inter = (
-        candidates.join(
-            shingles.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
-        )
-        .join(
-            shingles.select(F.col("doc_id").alias("doc_b"), "shingle"),
-            ["doc_b", "shingle"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    if shingle_sets is None:
+        shingle_sets = word_shingle_sets(documents, shingle_n)
+    sets_a = shingle_sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_shingles").alias("size_a"),
     )
-    size_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
-    size_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    sets_b = shingle_sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_shingles").alias("size_b"),
+    )
+    paired = candidates.join(sets_a, "doc_a").join(sets_b, "doc_b")
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        inter.join(size_a, "doc_a")
-        .join(size_b, "doc_b")
-        .withColumn(
+        paired.withColumn(
             "jaccard",
             F.round(
-                F.col("n_common")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                n_common
+                / (F.col("size_a") + F.col("size_b") - n_common),
                 4,
             ),
         )
@@ -435,19 +482,27 @@ def embedding_cosine_dedup_pairs(
     cands = hyperplane_lsh_candidates(
         embeddings, n_planes, bands, dim, id_col, vec_col, max_bucket_size
     )
+    # norms computed once per vector row before the joins (not per
+    # candidate pair) — identical float expression, strictly less work
     vecs = embeddings.select(
-        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec")
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_vec"),
+        _norm(F.col(vec_col)).alias("_norm"),
     )
     scored = (
         cands.join(
             vecs.select(
-                F.col("_vid").alias("id_a"), F.col("_vec").alias("vec_a")
+                F.col("_vid").alias("id_a"),
+                F.col("_vec").alias("vec_a"),
+                F.col("_norm").alias("norm_a"),
             ),
             "id_a",
         )
         .join(
             vecs.select(
-                F.col("_vid").alias("id_b"), F.col("_vec").alias("vec_b")
+                F.col("_vid").alias("id_b"),
+                F.col("_vec").alias("vec_b"),
+                F.col("_norm").alias("norm_b"),
             ),
             "id_b",
         )
@@ -456,7 +511,7 @@ def embedding_cosine_dedup_pairs(
             "id_b",
             F.round(
                 _dot(F.col("vec_a"), F.col("vec_b"))
-                / (_norm(F.col("vec_a")) * _norm(F.col("vec_b"))),
+                / (F.col("norm_a") * F.col("norm_b")),
                 4,
             ).alias("cos"),
         )

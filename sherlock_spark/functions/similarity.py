@@ -40,11 +40,22 @@ def cosine_topk(
     ties broken by neighbor_id. The cross join is the baseline; at scale
     swap the candidate set for ``hyperplane_lsh_candidates``.
     """
+    # Norms are per-VECTOR, not per-pair: compute them once on each
+    # side before the cross join instead of re-aggregating the same
+    # array k-queries (corpus side) / corpus-size (query side) times
+    # inside the scored projection. Same float expression tree per
+    # value (aggregate of squares, sqrt, multiplied query*cand), so the
+    # rounded cosine is bit-identical; the per-pair work drops from
+    # three array folds to one.
     cand = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cand_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cand_vec"),
+        _norm(F.col(vec_col)).alias("cand_norm"),
     )
     qry = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        _norm(F.col(vec_col)).alias("query_norm"),
     )
     scored = qry.crossJoin(cand).filter(
         F.col("query_id") != F.col("neighbor_id")
@@ -53,7 +64,7 @@ def cosine_topk(
         "neighbor_id",
         F.round(
             _dot(F.col("query_vec"), F.col("cand_vec"))
-            / (_norm(F.col("query_vec")) * _norm(F.col("cand_vec"))),
+            / (F.col("query_norm") * F.col("cand_norm")),
             4,
         ).alias("cos"),
     )
@@ -196,11 +207,17 @@ def lsh_topk_cosine(
         .select("query_id", F.col("doc_id").alias("neighbor_id"))
         .distinct()
     )
+    # norms computed once per vector row before the joins (not per
+    # candidate pair) — identical float expression, strictly less work
     qry = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        _norm(F.col(vec_col)).alias("query_norm"),
     )
     cand = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cand_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cand_vec"),
+        _norm(F.col(vec_col)).alias("cand_norm"),
     )
     scored = (
         candidates.join(qry, "query_id")
@@ -210,7 +227,7 @@ def lsh_topk_cosine(
             "neighbor_id",
             F.round(
                 _dot(F.col("query_vec"), F.col("cand_vec"))
-                / (_norm(F.col("query_vec")) * _norm(F.col("cand_vec"))),
+                / (F.col("query_norm") * F.col("cand_norm")),
                 4,
             ).alias("cos"),
         )
@@ -252,12 +269,17 @@ def ivf_assign(
     gates): two centroids at float-association distance of a vector
     could assign differently across engines; measure-zero on real
     embeddings."""
+    # per-vector norm computed once before the centroid cross join
+    # (not once per centroid) — identical float expression, 1/K the folds
     scored = vectors.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("vnorm"),
     ).crossJoin(
         F.broadcast(
             centroids.select(
-                F.col("centroid_id"), F.col("cvec")
+                F.col("centroid_id"), F.col("cvec"),
+                _norm(F.col("cvec")).alias("cnorm"),
             )
         )
     ).select(
@@ -265,7 +287,7 @@ def ivf_assign(
         "centroid_id",
         (
             _dot(F.col("vec"), F.col("cvec"))
-            / (_norm(F.col("vec")) * _norm(F.col("cvec")))
+            / (F.col("vnorm") * F.col("cnorm"))
         ).alias("ccos"),
     )
     window = Window.partitionBy("vid").orderBy(
@@ -410,7 +432,9 @@ def ivf_topk_cosine(
     scored = (
         cand.join(
             queries.select(
-                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("qv"),
+                _norm(F.col(vec_col)).alias("qn"),
             ),
             "query_id",
         )
@@ -418,6 +442,7 @@ def ivf_topk_cosine(
             embeddings.select(
                 F.col(id_col).alias("neighbor_id"),
                 F.col(vec_col).alias("nv"),
+                _norm(F.col(vec_col)).alias("nn"),
             ),
             "neighbor_id",
         )
@@ -426,7 +451,7 @@ def ivf_topk_cosine(
             "neighbor_id",
             F.round(
                 _dot(F.col("qv"), F.col("nv"))
-                / (_norm(F.col("qv")) * _norm(F.col("nv"))),
+                / (F.col("qn") * F.col("nn")),
                 4,
             ).alias("cos"),
         )

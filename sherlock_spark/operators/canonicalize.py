@@ -184,7 +184,17 @@ def resolve_canonical_ids(
     with_subj = triples.withColumn(
         "subj_norm", F.lower(F.col("subj_text"))
     ).withColumn("obj_norm", F.lower(F.col("obj_text")))
+    return resolve_canonical_ids_normed(with_subj, canonical_map)
 
+
+def resolve_canonical_ids_normed(
+    normed: DataFrame, canonical_map: DataFrame
+) -> DataFrame:
+    """``resolve_canonical_ids`` over a table that already carries
+    (subj_norm, subj_type, obj_norm, obj_type) — the shared core, also
+    consumed directly by aggregate-before-resolve callers
+    (``materialize_graph``) whose input rows are pre-collapsed tuples
+    rather than raw triples."""
     subj_map = canonical_map.select(
         F.col("ment_norm").alias("subj_norm"),
         F.col("ment_label").alias("subj_type"),
@@ -201,7 +211,7 @@ def resolve_canonical_ids(
     # falls back to a (skew-handled) shuffle join when it isn't; for
     # co-located repeats, bucket both sides on the norm key upstream.
     resolved = (
-        with_subj.join(subj_map, ["subj_norm", "subj_type"], "left")
+        normed.join(subj_map, ["subj_norm", "subj_type"], "left")
         .join(obj_map, ["obj_norm", "obj_type"], "left")
         .withColumn(
             "subj_id",
@@ -229,11 +239,32 @@ def materialize_graph(
     nodes(canonical_id, label, surface_forms); edges(subj_id, pred,
     obj_id, n_evidence) — n_evidence aggregates duplicate assertions
     instead of dropping them silently.
+
+    Aggregate-before-resolve (round-6): evidence rows are first counted
+    on the surface-NORM key (subj_norm, subj_type, pred, obj_norm,
+    obj_type) — a partial-aggregatable hash agg that collapses the
+    evidence table to its distinct assertion tuples BEFORE anything is
+    joined or shuffled wide. Rows with equal norm tuples always resolve
+    to the same canonical ids (the map joins on exactly those keys), so
+    resolving the collapsed table and summing the carried counts yields
+    the identical edges/nodes tables while the resolve joins and the
+    final aggregations see distinct-tuple cardinality instead of
+    evidence cardinality (7.5M evidence rows -> a few hundred tuples on
+    the bench corpus).
     """
-    resolved = resolve_canonical_ids(triples, canonical_map)
+    counts = (
+        triples.groupBy(
+            F.lower(F.col("subj_text")).alias("subj_norm"),
+            "subj_type",
+            "pred",
+            F.lower(F.col("obj_text")).alias("obj_norm"),
+            "obj_type",
+        ).agg(F.count("*").alias("n_evidence"))
+    )
+    resolved = resolve_canonical_ids_normed(counts, canonical_map)
     edges = (
         resolved.groupBy("subj_id", "pred", "obj_id")
-        .agg(F.count("*").alias("n_evidence"))
+        .agg(F.sum("n_evidence").alias("n_evidence"))
     )
     nodes = (
         resolved.select(

@@ -540,6 +540,29 @@ def extract_triples(
                 else []
             ),
         )
+        if dedup_model_inputs:
+            # The NER UDF output feeds BOTH the distinct-keys branch
+            # (building preds) and the probe side of the join back —
+            # materialize it once so the model-annotation stage
+            # upstream runs once, not twice. Checkpoint the per-TURN
+            # table, not the exploded pairs: pairs are quadratic in
+            # per-turn mention count (9.3M rows at sf1 vs 50k turns),
+            # so materializing them costs more than the model forwards
+            # it saves (measured: the round-5 shape, which checkpointed
+            # the pair table, ran ~2.5x slower than the per-pair path
+            # at sf1). Re-running the index explode per branch is pure
+            # JVM projection work over the checkpointed turns; the
+            # expensive Python stage runs exactly once.
+            # localCheckpoint, NOT persist(): persist registers the plan
+            # in the session CacheManager, which holds it for the
+            # session's lifetime unless explicitly unpersisted — every
+            # invocation would pin another cached DataFrame in executor
+            # memory. Checkpoint blocks are owned by the RDD and
+            # reclaimed by the ContextCleaner when the returned
+            # DataFrame goes out of scope. Eager: this runs the
+            # upstream job at construction time (same contract as the
+            # stage registry).
+            turns = turns.localCheckpoint(eager=True)
 
         m = F.size("ments")  # already capped
         idx = F.sequence(F.lit(0), m - 1)
@@ -605,26 +628,19 @@ def extract_triples(
         model = rc_model_udf(spark, labels, rule_map, add_logits)
         model_keys = ["subj_type", "obj_type", "subj_text", "obj_text"]
         if dedup_model_inputs:
-            # pairs feeds BOTH the distinct (building preds) and the
-            # probe side of the join — materialize it once so the NER
-            # UDF and pair explosion upstream run once, not twice.
-            # localCheckpoint, NOT persist(): persist registers the plan
-            # in the session CacheManager, which holds it for the
-            # session's lifetime unless explicitly unpersisted — every
-            # invocation would pin another cached DataFrame in executor
-            # memory. Checkpoint blocks are owned by the RDD and
-            # reclaimed by the ContextCleaner when the returned
-            # DataFrame goes out of scope. Eager: this runs the
-            # upstream job at construction time (same contract as the
-            # stage registry).
-            pairs = pairs.localCheckpoint(eager=True)
-            # one hash exchange on the model keys serves both the
-            # dedup and the model-stage spread (no separate round-robin
-            # rebalance: the keys are already uniform after hashing)
+            # dropDuplicates FIRST (partial, map-side dedup collapses
+            # each scan partition to its distinct keys before anything
+            # moves — guide: aggregate before you shuffle), THEN hash-
+            # repartition the distinct keys so the model stage spreads
+            # over the cluster when the distinct-key table is large.
+            # The round-5 shape repartitioned the full pair table by
+            # the model keys before deduping — a full-width shuffle of
+            # the quadratic pair table that the partial aggregation
+            # makes unnecessary.
             keys = (
                 pairs.select(*model_keys)
-                .repartition(n_parts, *model_keys)
                 .dropDuplicates()
+                .repartition(n_parts, *model_keys)
             )
             preds = keys.withColumn(
                 "rc", model(*[F.col(k) for k in model_keys])

@@ -86,9 +86,30 @@ def run_kg_pipeline(
     lexicon = DEFAULT_NER_LEXICON if ner_lexicon is None else ner_lexicon
     labels = DEFAULT_RC_LABELS if rc_labels is None else rc_labels
 
-    def build_triples() -> DataFrame:
+    def build_annotated() -> DataFrame:
+        # The NER model stage — the dominant cost of the whole DAG at
+        # scale — materialized ONCE and consumed by every downstream
+        # builder. Round 5 rebuilt ``annotate_mentions`` inside the
+        # triples, links, AND pair-overflow builders, so a cold
+        # pipeline run paid the model forward over the full corpus
+        # three times; checkpointing the annotated table makes it
+        # exactly once per cold run (and zero on resume). Pruned to the
+        # columns downstream stages read (conv_id/turn_idx identity,
+        # words for surface slicing, ments) — text/raw columns stay out
+        # of the stage table.
         salted = salt_by_conv(transcripts, chunk_turns)
-        annotated = annotate_mentions(spark, salted, lexicon)
+        return annotate_mentions(spark, salted, lexicon).select(
+            "conv_id", "turn_idx", "words", "ments"
+        )
+
+    annotated = manager.run_stage(
+        "annotated",
+        build_annotated,
+        dedup_keys=["conv_id", "turn_idx"],
+        repartition_by="conv_id",
+    )
+
+    def build_triples() -> DataFrame:
         return extract_triples(
             spark,
             annotated,
@@ -112,8 +133,6 @@ def run_kg_pipeline(
         # metrics-table row the lineage output carries
         from sherlock_spark.operators.metrics import pair_overflow_stats
 
-        salted = salt_by_conv(transcripts, chunk_turns)
-        annotated = annotate_mentions(spark, salted, lexicon)
         return pair_overflow_stats(annotated, max_mentions)
 
     pair_overflow = manager.run_stage(
@@ -124,8 +143,6 @@ def run_kg_pipeline(
     alias_df = make_alias_df(spark, alias_rows)
 
     def build_links() -> DataFrame:
-        salted = salt_by_conv(transcripts, chunk_turns)
-        annotated = annotate_mentions(spark, salted, lexicon)
         return linked_mentions(annotated, alias_df)
 
     links = manager.run_stage(
@@ -155,6 +172,7 @@ def run_kg_pipeline(
     )
 
     return {
+        "annotated": annotated,
         "triples": triples,
         "links": links,
         "canonical_map": canonical_map,

@@ -226,6 +226,18 @@ SQL_KG_PAIRS = f"""
 
 
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship extraction. ``dedup_model_inputs=True`` (round-6): the
+    model forward runs over DISTINCT (subj_type, obj_type, subj_text,
+    obj_text) keys and predictions broadcast-join back — on this
+    transcript corpus the distinct-key table is ~100 rows vs 9.3M
+    pairs, so the per-pair Python stage (Arrow transfer + forward)
+    collapses to a partial-aggregated distinct + broadcast probe.
+    Results are pinned identical to the per-pair path by the shared
+    oracle (``kg_triples_dedup_inputs`` has gated the same SQL at every
+    sf since round 4; interleaved sf1 A/B: ~3.5-4.5 s vs ~5-6.7 s
+    warm). The knob stays off by default in ``extract_triples`` —
+    on a high-cardinality corpus the distinct buys nothing — but agent
+    transcripts are exactly the heavy-repetition case it exists for."""
     triples = extract_triples(
         spark,
         _annotated(spark, sf_dir),
@@ -234,6 +246,7 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         entity_handling="mark_entity",
         max_length=None,
         max_mentions=MAX_MENTIONS,
+        dedup_model_inputs=True,
     )
     return triples.select(
         "conv_id",
@@ -358,7 +371,9 @@ def _kg_stages(
         ),
     )
     # triple extraction is the expensive stage — materialized once so
-    # the node/edge aggregations never re-run the model UDF
+    # the node/edge aggregations never re-run the model UDF; the
+    # distinct-key inference cache cuts its one-time build the same way
+    # it does q_kg_triples (identical output, oracle-pinned)
     triples = stage(
         spark,
         ("kg_triples_stage", sf_dir),
@@ -370,6 +385,7 @@ def _kg_stages(
             entity_handling="mark_entity",
             max_length=None,
             max_mentions=MAX_MENTIONS,
+            dedup_model_inputs=True,
         ),
     )
     return annotated, canonical_map, triples
@@ -971,13 +987,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result equals the exact n-gram-Jaccard pairs).
     """
     documents = _load(spark, sf_dir, "documents")
-    # the corpus-only tables (band buckets = shingle explode + 32
-    # min-hash aggregates; the shingle table itself) are materialized
+    # the corpus-only tables (band buckets = row-local 32-hash minhash
+    # signatures; the per-doc shingle-set table) are materialized
     # once per (session, dataset) — repeated/incremental dedup pays only
     # the candidate join + exact verify, the production resume pattern
     from sherlock_spark.functions.dedup import (
         minhash_band_buckets,
-        word_shingles,
+        word_shingle_sets,
     )
 
     buckets = stage(
@@ -985,10 +1001,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("minhash_buckets", sf_dir, 32, 16, 3),
         lambda: minhash_band_buckets(documents, 32, 16, 3),
     )
-    shingles = stage(
+    shingle_sets = stage(
         spark,
-        ("minhash_shingles", sf_dir, 3),
-        lambda: word_shingles(documents, 3),
+        ("minhash_shingle_sets", sf_dir, 3),
+        lambda: word_shingle_sets(documents, 3),
     )
     return minhash_dedup_pairs(
         documents,
@@ -996,7 +1012,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hashes=32,
         bands=16,
         band_buckets=buckets,
-        shingles=shingles,
+        shingle_sets=shingle_sets,
     )
 
 

@@ -115,6 +115,7 @@ def test_full_dag_and_resume(spark, tmp_path):
     # lineage written per stage with per-partition counts
     stages = {record["stage"] for record in result["lineage"]}
     assert stages == {
+        "annotated",
         "triples",
         "links",
         "canonical_map",
@@ -157,3 +158,49 @@ def test_full_dag_and_resume(spark, tmp_path):
         == 0
     )
     assert result2["edges"].count() == n_edges
+
+
+def test_pipeline_annotates_once_per_cold_run(spark, tmp_path, monkeypatch):
+    """Round-6 fix for the round-5 plan defect: triples, links, and
+    pair-overflow metrics all consume ONE materialized ``annotated``
+    stage, so the NER model stage is built (and executed, via the
+    stage's eager materialization) exactly once per cold pipeline run —
+    not once per consuming builder. On resume it is built zero times."""
+    import sherlock_spark.plans.pipeline as pipeline_mod
+
+    calls: list[int] = []
+    real = pipeline_mod.annotate_mentions
+
+    def counting_annotate(spark_, transcripts_, lexicon=None, **kwargs):
+        calls.append(1)
+        return real(spark_, transcripts_, lexicon, **kwargs)
+
+    monkeypatch.setattr(pipeline_mod, "annotate_mentions", counting_annotate)
+    transcripts = synth_transcripts_from_fixtures(
+        spark, n_convs=2, turns_per_conv=2
+    )
+    out_dir = str(tmp_path / "kg")
+    result = run_kg_pipeline(
+        spark,
+        transcripts,
+        out_dir,
+        ner_lexicon=FIXTURE_NER_LEXICON,
+        rc_labels=FIXTURE_RC_LABELS,
+        rc_rule_map=FIXTURE_RC_RULES,
+        aliases=ALIASES,
+    )
+    assert len(calls) == 1
+    ann = next(r for r in result["lineage"] if r["stage"] == "annotated")
+    assert ann["n_rows"] == transcripts.count()
+    # resume: every stage complete -> the NER stage is never rebuilt
+    calls.clear()
+    run_kg_pipeline(
+        spark,
+        transcripts,
+        out_dir,
+        ner_lexicon=FIXTURE_NER_LEXICON,
+        rc_labels=FIXTURE_RC_LABELS,
+        rc_rule_map=FIXTURE_RC_RULES,
+        aliases=ALIASES,
+    )
+    assert len(calls) == 0

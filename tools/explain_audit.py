@@ -69,26 +69,41 @@ def main() -> int:
         plan,
     )
 
-    # 3. extraction chain: exactly two exchanges — the explicit conv_id
-    #    repartition after the scan, and the round-robin rebalance
-    #    between pair construction and the model stage (breaks the
-    #    two-Python-workers-per-task pipeline and evens quadratic pair
-    #    skew); everything else is narrow
+    # 3. extraction chain (round-6 inference-cache shape): the NER
+    #    stage is materialized once (checkpointed turns -> ExistingRDD
+    #    scans), the model UDF runs over the DISTINCT model keys only
+    #    (partial map-side dedup -> hash exchange on the four keys),
+    #    and predictions broadcast-join back onto the narrow pair
+    #    explode — the quadratic pair table itself is never shuffled.
     plan = plan_of(q_kg_triples(spark, sf_dir))
-    n_exchange = len(re.findall(r"Exchange ", plan))
+    n_arrow = plan.count("ArrowEvalPython")
     check(
-        f"kg_triples: exactly two exchanges in the extraction chain (got {n_exchange})",
-        n_exchange == 2,
+        f"kg_triples: model UDF evaluates the distinct-key side only — "
+        f"exactly one ArrowEvalPython in the query plan (got {n_arrow}; "
+        f"the NER stage ran once at checkpoint construction)",
+        n_arrow == 1,
         plan,
     )
     check(
-        "kg_triples: pre-model rebalance is round-robin",
-        "RoundRobinPartitioning" in plan,
+        "kg_triples: distinct model keys via partial aggregation + hash "
+        "exchange on the four model keys",
+        re.search(
+            r"Exchange hashpartitioning\([^\n]*subj_type[^\n]*obj_type", plan
+        )
+        is not None,
         plan,
     )
     check(
-        "kg_triples: ArrowEvalPython stages present (vectorized UDFs)",
-        "ArrowEvalPython" in plan or "BatchEvalPython" not in plan,
+        "kg_triples: predictions join back as a broadcast (the pair "
+        "explode side is never shuffled)",
+        "BroadcastHashJoin" in plan
+        and "RoundRobinPartitioning" not in plan,
+        plan,
+    )
+    check(
+        "kg_triples: pair probe reads the checkpointed NER output "
+        "(ExistingRDD scan under the explode)",
+        "ExistingRDD" in plan and "Generate explode" in plan,
         plan,
     )
     check(
