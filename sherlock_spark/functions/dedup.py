@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sherlock_spark.functions.spread import spread
+
 # -- exact ---------------------------------------------------------------
 
 
@@ -62,7 +64,7 @@ def word_shingle_array(text_col=None, n: int = 3):
 
 def word_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams per document."""
-    return documents.select(
+    return spread(documents).select(
         "doc_id", F.explode(word_shingle_array(F.col("text"), n)).alias("shingle")
     )
 
@@ -75,7 +77,7 @@ def word_shingle_sets(documents: DataFrame, n: int = 3) -> DataFrame:
     pair instead of an exploded (doc, shingle) join + count aggregate
     (guide §2.3: shuffle candidate-pair rows, not candidate x shingle
     rows)."""
-    return documents.select(
+    return spread(documents).select(
         "doc_id", word_shingle_array(F.col("text"), n).alias("shingles")
     ).withColumn("n_shingles", F.size("shingles"))
 
@@ -203,7 +205,7 @@ def minhash_signatures(documents: DataFrame, n_hashes: int = 32, shingle_n: int 
     # referenced 32 times but built once per row: CollapseProject does
     # not inline non-cheap expressions with multiple consumers, so the
     # two-Project shape below evaluates it once.
-    with_shingles = documents.select(
+    with_shingles = spread(documents).select(
         "doc_id", word_shingle_array(F.col("text"), shingle_n).alias("shingles")
     )
     return with_shingles.select(
@@ -366,7 +368,7 @@ def _simhash_assemble(documents: DataFrame, bit_of, bits: int) -> DataFrame:
     fingerprint assembly. ``bit_of(i)`` yields the 0/1 Column for bit
     ``i`` of the current ``word`` column — the only thing the fast and
     the portable variants differ in."""
-    words = documents.select(
+    words = spread(documents).select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
     bit_sums = words.groupBy("doc_id").agg(
@@ -549,7 +551,7 @@ def duplicated_substring_spans(
             F.concat_ws(" ", F.slice(words, i + 1, n)).alias("shingle"),
         ),
     )
-    occurrences = documents.select(
+    occurrences = spread(documents).select(
         "doc_id", F.explode(positioned).alias("occ")
     ).select(
         "doc_id", F.col("occ.pos").alias("pos"), F.col("occ.shingle").alias("shingle")

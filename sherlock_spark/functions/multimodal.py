@@ -106,6 +106,17 @@ def extract_media_features(
     if decoder is None:
         decoder = default_image_decoder()
 
+    # explicit projection BEFORE the opaque Python stage: Spark cannot
+    # see which columns ``process`` touches, so without this every
+    # media column (mime, dims, duration) would cross the Arrow
+    # boundary — and column pruning at the scan would be defeated
+    # (guide §4: pass only the columns the function needs). spread():
+    # a single-row-group scan otherwise serializes the whole decode
+    # stage on one core.
+    from sherlock_spark.functions.spread import spread
+
+    media = spread(media.select("media_id", "kind", "payload"))
+
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             features = []

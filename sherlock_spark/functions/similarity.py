@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from sherlock_spark.functions.spread import spread
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -47,7 +49,7 @@ def cosine_topk(
     # value (aggregate of squares, sqrt, multiplied query*cand), so the
     # rounded cosine is bit-identical; the per-pair work drops from
     # three array folds to one.
-    cand = embeddings.select(
+    cand = spread(embeddings).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cand_vec"),
         _norm(F.col(vec_col)).alias("cand_norm"),
@@ -113,7 +115,7 @@ def hyperplane_buckets(
         )
         for band in range(bands)
     ]
-    return df.select(
+    return spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.array(*buckets)).alias("band", "bucket"),
     )
@@ -271,7 +273,7 @@ def ivf_assign(
     embeddings."""
     # per-vector norm computed once before the centroid cross join
     # (not once per centroid) — identical float expression, 1/K the folds
-    scored = vectors.select(
+    scored = spread(vectors).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("vnorm"),

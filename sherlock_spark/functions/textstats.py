@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sherlock_spark.functions.spread import spread
+
 # tiny per-language stopword sets for the n-gram/stopword language
 # heuristic (public common function words)
 LANG_STOPWORDS: dict[str, list[str]] = {
@@ -38,7 +40,7 @@ def with_text_stats(documents: DataFrame) -> DataFrame:
     """
     words = F.split("text", " ")
     stop_array = F.array(*[F.lit(word) for word in EN_STOPWORDS])
-    return documents.select(
+    return spread(documents).select(
         "doc_id",
         F.length("text").alias("n_chars"),
         F.size(words).alias("n_words"),
@@ -101,7 +103,7 @@ def language_id(documents: DataFrame) -> DataFrame:
         F.struct(F.lit(-1).alias("hits"), F.lit("und").alias("lang")),
         lambda acc, s: F.when(s["hits"] > acc["hits"], s).otherwise(acc),
     )
-    return documents.select(
+    return spread(documents).select(
         "doc_id",
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
             "pred_lang"
@@ -113,7 +115,7 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     """Order-insensitive document fingerprint: md5 over the sorted
     distinct word set — cheap exact-dedup key robust to word order.
     """
-    return documents.select(
+    return spread(documents).select(
         "doc_id",
         F.md5(
             F.concat_ws(
@@ -143,7 +145,7 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    words = documents.select(
+    words = spread(documents).select(
         "doc_id",
         F.explode(F.split(F.lower("text"), " ")).alias("term"),
     ).filter(F.col("term") != "")
@@ -236,7 +238,7 @@ def redact_pii(
     (regexp_count / regexp_replace): map-side, codegen'd, no Python.
     """
     text = F.col(text_col)
-    return documents.withColumns(
+    return spread(documents).withColumns(
         {
             "n_emails": F.regexp_count(text, F.lit(EMAIL_REGEX)).cast("long"),
             "n_phones": F.regexp_count(
@@ -283,7 +285,7 @@ def repetition_stats(
     from pyspark.sql import Window
 
     words = F.split("text", " ")
-    base = documents.select(
+    base = spread(documents).select(
         "doc_id",
         F.length("text").alias("n_chars"),
         words.alias("w"),
