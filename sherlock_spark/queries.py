@@ -55,6 +55,7 @@ from sherlock_spark.sources.transcripts import (
     transcripts_from_documents,
     transcripts_from_documents_sql,
 )
+from sherlock_spark.functions.spread import spread
 from sherlock_spark.udfcache import stage
 
 N_CONVS = 100
@@ -850,7 +851,7 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     analogue): per language — document count, word/char totals, average
     document length, distinct sources.
     """
-    documents = _load(spark, sf_dir, "documents")
+    documents = spread(_load(spark, sf_dir, "documents"))
     words = F.split("text", " ")
     return documents.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -917,7 +918,7 @@ SQL_DEDUP_NGRAM = """
 
 
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    documents = _load(spark, sf_dir, "documents")
+    documents = spread(_load(spark, sf_dir, "documents"))
     return documents.select(
         "doc_id",
         token_count(F.col("text")).cast("long").alias("n_tokens"),
@@ -2734,7 +2735,7 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     every sf.) Word and bigram counts are two hash aggs; the floor is a
     broadcast scalar; PMI = ln(c_xy * N / (c_x * c_y)) with N = total
     word count, rounded before the rank."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = spread(_load(spark, sf_dir, "documents"))
     words = F.split(F.lower("text"), " ")
     grams = docs.select(
         F.explode(
@@ -2922,7 +2923,7 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is TakeOrderedAndProject-sized (top-k), so the regression
     runs over k rows."""
     words = (
-        _load(spark, sf_dir, "documents")
+        spread(_load(spark, sf_dir, "documents"))
         .select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
         .filter(F.col("term") != "")
     )
@@ -3968,7 +3969,7 @@ def q_text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast at practical sizes, left to AQE here), one for the total,
     explode + join + per-doc agg. Scores round to 4 before the compare
     (double sum order differs across engines in the last ulp)."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = spread(_load(spark, sf_dir, "documents"))
     words = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
@@ -4120,7 +4121,7 @@ def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     NEVER a global sort of the vocabulary); ties break on the term so
     both engines rank identically."""
     words = (
-        _load(spark, sf_dir, "documents")
+        spread(_load(spark, sf_dir, "documents"))
         .select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
         .filter(F.col("term") != "")
     )
@@ -4329,7 +4330,7 @@ def q_text_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates flag templated/machine-generated sources. Two stacked hash
     aggregations."""
     words = (
-        _load(spark, sf_dir, "documents")
+        spread(_load(spark, sf_dir, "documents"))
         .select(
             "source", F.explode(F.split(F.lower("text"), " ")).alias("term")
         )
