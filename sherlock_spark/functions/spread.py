@@ -23,11 +23,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+# a scan smaller than parallelism x this many bytes cannot usefully
+# fill the cluster even at modest split sizes, so the repartition it
+# gets costs at most parallelism x 16 MB of shuffle — trivial next to
+# the serialized stage it prevents
+_SMALL_INPUT_BYTES_PER_SLOT = 16 * 1024 * 1024
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to ``defaultParallelism`` when (and only
-    when) the plan's current parallelism is lower. Use immediately
-    before compute-heavy row-local stages fed by small scans."""
+    when) the input is too small to parallelize as a scan. Use
+    immediately before compute-heavy row-local stages fed by small
+    scans.
+
+    The decision reads the optimizer's size estimate
+    (``optimizedPlan().stats().sizeInBytes``) rather than
+    ``df.rdd.getNumPartitions()``: building the RDD compiles the
+    physical plan (janino) on every call — measured in the hundreds of
+    ms per query construction — while the stats lookup is a few ms and
+    errs the right way (unknown sizes report huge, so big inputs are
+    never shuffled)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j maps scala.math.BigInt to int on this stack; older
+        # bridges hand back the JVM object, whose str() is the digits
+        size = raw if isinstance(raw, int) else int(str(raw))
+    except Exception:
+        return df
+    if size < target * _SMALL_INPUT_BYTES_PER_SLOT:
         return df.repartition(target)
     return df
