@@ -765,8 +765,15 @@ def q_rel_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     window = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # parquet timestamps arrive as TIMESTAMP_NTZ; session TZ is UTC so
     # the LTZ reinterpretation is the identity and epoch math matches
-    # DuckDB's naive epoch()
-    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    # DuckDB's naive epoch(). Cast to DOUBLE, not long: epoch() keeps
+    # the fractional (microsecond) part, and every generated ts has
+    # one — a long cast truncates, and at sf1 29 inter-event gaps flip
+    # across the 1800 s boundary under truncation (12-session row-count
+    # mismatch caught by the round-6 sf1 gate on the driver corpus;
+    # sf0.01/sf0.1 have no boundary-straddling gap, so the gate stayed
+    # green there). micros/1e6 in double is bit-identical across both
+    # engines.
+    epoch = F.col("ts").cast("timestamp_ltz").cast("double")
     with_gap = events.withColumn(
         "gap_s",
         epoch - F.lag(epoch).over(window),
@@ -3093,15 +3100,21 @@ def q_rel_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").alias("qty"),
     )
     per_supp = li.groupBy("part", "supp").agg(F.sum("qty").alias("q"))
+    # Round the BINARY double, as DuckDB's ROUND does, not through
+    # Spark's decimal-string repr. Quantities are whole numbers, so the
+    # ratio is exact in both engines — but one sf1 part lands on HHI =
+    # 30624/640000 = 0.04785 whose nearest double is ...849999...:
+    # DuckDB rounds the binary value down to 0.0478 while Spark's
+    # BigDecimal.valueOf(Double.toString) path reads the shortest repr
+    # "0.04785" and HALF_UPs to 0.0479 (round-6 sf1 gate catch; no
+    # gate-scale value sits on such a repr boundary, re-gated green).
+    # floor(x*1e4 + 0.5)/1e4 == C round() for the non-negative ratio.
+    hhi_raw = F.sum(F.col("q") * F.col("q")) / (F.sum("q") * F.sum("q"))
     return (
         per_supp.groupBy("part")
         .agg(
             F.count("*").cast("long").alias("n_suppliers"),
-            F.round(
-                F.sum(F.col("q") * F.col("q"))
-                / (F.sum("q") * F.sum("q")),
-                4,
-            ).alias("hhi"),
+            (F.floor(hhi_raw * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias("hhi"),
         )
         .select(F.col("part").cast("long"), "n_suppliers", "hhi")
     )

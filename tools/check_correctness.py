@@ -158,6 +158,15 @@ def main() -> int:
     parser.add_argument("sf_dirs", nargs="*", default=None)
     parser.add_argument("--only", default="")
     parser.add_argument("--out", default=None)
+    parser.add_argument(
+        "--excluded",
+        default="",
+        help="comma-separated name=reason pairs recorded verbatim in the"
+        " artifact's 'excluded' block, so a partial gate (e.g. the sf1"
+        " run that skips the O(n^2) oracle baselines) is"
+        " self-documenting instead of silently short (round-5 VERDICT"
+        " #4)",
+    )
     args = parser.parse_args()
     sf_dirs = args.sf_dirs or ["/root/testdata/sf0.01"]
     only = set(q for q in args.only.split(",") if q)
@@ -198,6 +207,10 @@ def main() -> int:
         all_failures.extend(f"{label}:{name}" for name in failures)
         all_vacuous.extend(f"{label}:{name}" for name in vacuous)
 
+    if args.excluded:
+        artifact["excluded"] = dict(
+            pair.split("=", 1) for pair in args.excluded.split(",") if pair
+        )
     if args.out:
         with open(args.out, "w") as handle:
             json.dump(artifact, handle, indent=1)
