@@ -118,7 +118,7 @@ def test_cc_high_diameter_chain_logarithmic_rounds(spark):
         F.concat(F.lit("c"), _zpad(F.col("id") + 1)).alias("dst"),
     )
     stats: dict = {}
-    comp = connected_components(chain, stats=stats)
+    comp = connected_components(chain, stats=stats, local_threshold=0)
     assert comp.filter(F.col("component") != "c0000000").count() == 0
     assert comp.count() == n + 1
     assert stats["converged"] is True
@@ -136,4 +136,31 @@ def test_cc_unconverged_raises(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         # shortcut off + 3 iterations cannot cover diameter 40
-        connected_components(chain, max_iterations=3, shortcut=False)
+        connected_components(chain, max_iterations=3, shortcut=False, local_threshold=0)
+
+
+def test_cc_local_fast_path_matches_distributed(spark):
+    """The round-6 small-graph fast path (driver union-find under
+    ``local_threshold`` edges) must be byte-identical to the
+    distributed loop on the same graph — same (node, component) pairs,
+    component = lexicographic min."""
+    chain = spark.range(50).select(
+        F.concat(F.lit("c"), _zpad(F.col("id"))).alias("src"),
+        F.concat(F.lit("c"), _zpad(F.col("id") + 1)).alias("dst"),
+    )
+    pairs = spark.range(30).select(
+        F.concat(F.lit("p"), _zpad(F.col("id") * 2)).alias("src"),
+        F.concat(F.lit("p"), _zpad(F.col("id") * 2 + 1)).alias("dst"),
+    )
+    edges = chain.union(pairs)
+    stats_local: dict = {}
+    local = {
+        (r.node, r.component)
+        for r in connected_components(edges, stats=stats_local).collect()
+    }
+    assert stats_local["mode"] == "local"
+    dist = {
+        (r.node, r.component)
+        for r in connected_components(edges, local_threshold=0).collect()
+    }
+    assert local == dist
