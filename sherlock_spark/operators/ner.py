@@ -160,17 +160,27 @@ def bio_to_mentions(tag_series: pd.Series) -> pd.Series:
 
 
 def ner_ments_udf(spark: SparkSession, lexicon: dict[str, str] | None = None):
-    """Fused iterator pandas UDF: array<string> words -> mention spans.
+    """Fused iterator pandas UDF: turn ``text`` -> mention spans.
 
-    One Python stage for model forward (argmax decode inside
+    One Python stage for tokenization (a literal single-space split —
+    the transcript invariant is that ``text`` is the space-join of its
+    tokens, so Python's ``str.split(" ")`` reconstructs exactly the
+    ``words_column`` array), model forward (argmax decode inside
     ``predict_tags``, reference ``transformers_token_clf.py:29-40``) AND
     BIO -> span decode (``utils.py:128-167`` semantics via the shared
     codec) — the reference's annotator does both in one pass too
     (``transformers_token_clf.py:29-40``), so a second Arrow hop would be
     pure engine overhead.
+
+    Input is the raw ``text`` column, NOT the pre-split ``words`` array:
+    an Arrow string column is one contiguous buffer + offsets, while
+    list<string> carries per-element offsets and null bitmaps — sending
+    text moves the same bytes with a fraction of the serialization
+    overhead, and the in-Python split costs less than the transfer
+    saved (guide §4.1: control how many columns cross, and how).
     """
     lex = StubNerModel(lexicon).lexicon if lexicon is None else lexicon
-    cache_key = "ner-ments:" + config_hash(lex)
+    cache_key = "ner-ments-text:" + config_hash(lex)
 
     def build():
         broadcast = spark.sparkContext.broadcast(lex)
@@ -179,7 +189,7 @@ def ner_ments_udf(spark: SparkSession, lexicon: dict[str, str] | None = None):
         def ments(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
             model = _executor_model(cache_key, broadcast)
             for series in batches:
-                token_lists = [list(words) for words in series]
+                token_lists = [text.split(" ") for text in series]
                 tag_lists = model.predict_tags(token_lists)
                 yield pd.Series(
                     [
@@ -221,4 +231,7 @@ def annotate_mentions(
         df = df.withColumn("bio", tagger(F.col("words")))
         return df.withColumn("ments", bio_to_mentions(F.col("bio")))
     fused = ner_ments_udf(spark, lexicon)
-    return df.withColumn("ments", fused(F.col("words")))
+    # the fused UDF re-splits text in Python (cheaper Arrow transfer
+    # than shipping the words array); `words` stays a JVM column for
+    # downstream consumers (surface slicing, token counts)
+    return df.withColumn("ments", fused(F.col("text")))

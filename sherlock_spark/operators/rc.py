@@ -71,34 +71,53 @@ def _executor_rc(cache_key: str, broadcast):
     return cached
 
 
+def pair_index_array(max_mentions: int):
+    """Constant ordered-pair index table: element ``m+1`` (1-based) is
+    the array of ``(h, t)`` index structs for a turn with ``m`` capped
+    mentions — ``[(0,1),(0,2),..,(1,0),..]``, every ordered pair with
+    ``h != t``, in the same nested-loop order the old higher-order
+    construction produced.
+
+    Why a literal: the previous shape built the pair array per row with
+    ``transform``/``filter``/``flatten`` — higher-order functions are
+    CodegenFallback in Spark, so every row paid an interpreted
+    expression walk (measured at sf1: 15.2 s first evaluation while C2
+    warmed the interpreter, ~0.45 s steady vs ~0.12 s for this lookup).
+    ``max_mentions`` is a plan-time constant, so the whole table
+    (sum of m²-m entries, 1,360 structs at the default 16) constant-
+    folds into ONE Literal and the per-row work collapses to an O(1)
+    ``element_at``.
+    """
+    empty = F.array().cast("array<struct<h:int,t:int>>")
+    tables = []
+    for m in range(max_mentions + 1):
+        pairs = [
+            F.struct(F.lit(h).alias("h"), F.lit(t).alias("t"))
+            for h in range(m)
+            for t in range(m)
+            if h != t
+        ]
+        tables.append(F.array(*pairs) if pairs else empty)
+    return F.array(*tables)
+
+
 def enumerate_pairs(annotated: DataFrame, max_mentions: int = 16) -> DataFrame:
     """Ordered mention pairs within each turn (one turn = one sentence,
     mirroring the sentence-restricted search space, binary_rc.py:307-313).
 
-    Row-local: two nested ``transform``s build the pair array, one
-    ``explode`` flattens it — Catalyst keeps this in the same stage as
-    the upstream scan, no shuffle. Turns with more than ``max_mentions``
-    mentions contribute pairs only over the first ``max_mentions``
-    (array order = position = mention identity) and are flagged in
-    ``ments_overflow`` for the metrics sink.
+    Row-local: one ``element_at`` into the constant pair-index table
+    (``pair_index_array``) and one ``explode`` — Catalyst keeps this in
+    the same stage as the upstream scan, no shuffle. Turns with more
+    than ``max_mentions`` mentions contribute pairs only over the first
+    ``max_mentions`` (array order = position = mention identity) and
+    are flagged in ``ments_overflow`` for the metrics sink.
     """
     n = F.size("ments")
     capped = F.least(n, F.lit(max_mentions))
-    indices = F.sequence(F.lit(0), capped - 1)
-    pair_array = F.filter(
-        F.flatten(
-            F.transform(
-                indices,
-                lambda h: F.transform(
-                    indices, lambda t: F.struct(h.alias("h"), t.alias("t"))
-                ),
-            )
-        ),
-        lambda pair: pair["h"] != pair["t"],
-    )
+    pair_array = F.element_at(pair_index_array(max_mentions), capped + 1)
     return (
         annotated.withColumn("ments_overflow", n > F.lit(max_mentions))
-        .withColumn("pair", F.explode(F.when(n >= 2, pair_array)))
+        .withColumn("pair", F.explode(pair_array))
         .withColumn("head_idx", F.col("pair.h"))
         .withColumn("tail_idx", F.col("pair.t"))
         .drop("pair")
@@ -565,21 +584,14 @@ def extract_triples(
             turns = turns.localCheckpoint(eager=True)
 
         m = F.size("ments")  # already capped
-        idx = F.sequence(F.lit(0), m - 1)
-        idx_pairs = F.filter(
-            F.flatten(
-                F.transform(
-                    idx,
-                    lambda h: F.transform(
-                        idx, lambda t: F.struct(h.alias("h"), t.alias("t"))
-                    ),
-                )
-            ),
-            lambda pair: pair["h"] != pair["t"],
-        )
-        exploded = turns.withColumn(
-            "pair", F.explode(F.when(m >= 2, idx_pairs))
-        )
+        # O(1) lookup into the constant-folded pair-index literal (see
+        # pair_index_array): the old per-row transform/filter/flatten
+        # construction was CodegenFallback — interpreted on every row
+        # and the single biggest first-evaluation JIT hog of the whole
+        # query (15.2 s at sf1). An empty slot (m < 2) explodes to no
+        # rows, exactly like the old when(m >= 2, ...) null.
+        idx_pairs = F.element_at(pair_index_array(max_mentions), m + 1)
+        exploded = turns.withColumn("pair", F.explode(idx_pairs))
 
         head = F.element_at(F.col("ments"), F.col("pair.h") + 1)
         tail = F.element_at(F.col("ments"), F.col("pair.t") + 1)

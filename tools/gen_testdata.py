@@ -78,7 +78,9 @@ STRIDE_OF = {
 }
 
 
-def generate(src: str, out: str, factor: int) -> None:
+def generate(
+    src: str, out: str, factor: int, keep_lexicon: bool = False
+) -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {min(16, os.cpu_count() or 4)}")
@@ -127,10 +129,35 @@ def generate(src: str, out: str, factor: int) -> None:
     # each replica's dup structure is an exact copy of the source's and
     # cross-replica similarity is 0; n_chars stays == len(text)
     doc_stride = strides["doc_id"]
-    mutated = (
-        "array_to_string(list_transform(string_split(t.text, ' '), "
-        "w -> w || '_r' || r.r), ' ')"
-    )
+    if keep_lexicon:
+        # kg-density-faithful mode: NER-lexicon words are exempt from
+        # the rename so every replica carries the SAME mention/pair/
+        # triple structure as the source — without this, replicas 1..N
+        # have zero lexicon hits and the kg model stages see 1/N of the
+        # load a uniformly-scaled corpus (like the driver's own sf1)
+        # would produce. Cross-replica Jaccard is no longer exactly 0
+        # but is bounded by the lexicon-word fraction of a document
+        # (~0.1 word-share -> shingle Jaccard << the 0.8 dedup
+        # threshold), so dup-pair results above threshold still scale
+        # exactly linearly.
+        import sys
+
+        sys.path.insert(
+            0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        from sherlock_spark.model_stub import DEFAULT_NER_LEXICON
+
+        kept = ", ".join(f"'{w}'" for w in sorted(DEFAULT_NER_LEXICON))
+        mutated = (
+            "array_to_string(list_transform(string_split(t.text, ' '), "
+            f"w -> CASE WHEN lower(w) IN ({kept}) THEN w "
+            "ELSE w || '_r' || r.r END), ' ')"
+        )
+    else:
+        mutated = (
+            "array_to_string(list_transform(string_split(t.text, ' '), "
+            "w -> w || '_r' || r.r), ' ')"
+        )
     con.sql(
         f"""COPY (
             SELECT CAST(t.doc_id + r.r * {doc_stride} AS BIGINT) AS doc_id,
@@ -188,8 +215,14 @@ def main() -> None:
     parser.add_argument("--src", default="/root/testdata/sf0.1")
     parser.add_argument("--out", default="/tmp/sherlock_testdata/sf1")
     parser.add_argument("--factor", type=int, default=10)
+    parser.add_argument(
+        "--keep-lexicon",
+        action="store_true",
+        help="exempt NER-lexicon words from the per-replica rename so "
+        "kg mention density matches a uniformly-scaled corpus",
+    )
     args = parser.parse_args()
-    generate(args.src, args.out, args.factor)
+    generate(args.src, args.out, args.factor, args.keep_lexicon)
 
 
 if __name__ == "__main__":
