@@ -26,6 +26,7 @@ kept for the non-default mask strategies and as a parity reference.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -87,18 +88,32 @@ def pair_index_array(max_mentions: int):
     (sum of m²-m entries, 1,360 structs at the default 16) constant-
     folds into ONE Literal and the per-row work collapses to an O(1)
     ``element_at``.
+
+    Built as ONE SQL string handed to ``F.expr`` (cached per
+    ``max_mentions``): composing it from ~4,000 nested ``F.lit``/
+    ``F.struct``/``F.array`` Column objects costs ~4,000 py4j round
+    trips — measured 6-9 s of driver-side plan-construction time PER
+    QUERY BUILD, dwarfing the execution win. The SQL parse is one call.
     """
-    empty = F.array().cast("array<struct<h:int,t:int>>")
+    return F.expr(_pair_index_sql(max_mentions))
+
+
+@lru_cache(maxsize=None)
+def _pair_index_sql(max_mentions: int) -> str:
     tables = []
     for m in range(max_mentions + 1):
         pairs = [
-            F.struct(F.lit(h).alias("h"), F.lit(t).alias("t"))
+            f"named_struct('h',{h},'t',{t})"
             for h in range(m)
             for t in range(m)
             if h != t
         ]
-        tables.append(F.array(*pairs) if pairs else empty)
-    return F.array(*tables)
+        tables.append(
+            f"array({','.join(pairs)})"
+            if pairs
+            else "cast(array() as array<struct<h:int,t:int>>)"
+        )
+    return f"array({','.join(tables)})"
 
 
 def enumerate_pairs(annotated: DataFrame, max_mentions: int = 16) -> DataFrame:
@@ -649,6 +664,14 @@ def extract_triples(
             # the model keys before deduping — a full-width shuffle of
             # the quadratic pair table that the partial aggregation
             # makes unnecessary.
+            # (A turn-level pre-dedup — canonical sorted (label, text)
+            # profiles deduped before the pair explode — was measured
+            # and REJECTED: distinct on an array<struct> key has no
+            # codegen fast path (1.1-1.4 s vs 0.7-0.9 s for this shape
+            # at sf1), and the opaque array expressions wreck the size
+            # estimates the planner needs to broadcast `preds`. The
+            # exploded distinct below is partial-aggregated map-side,
+            # so each scan task ships only its distinct keys.)
             keys = (
                 pairs.select(*model_keys)
                 .dropDuplicates()
